@@ -1,0 +1,97 @@
+"""Shared CLI assembly: config -> model/data/optimizer/state builders."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import (
+    RuijinMaskDataset,
+    RuijinSlicePairDataset,
+    SyntheticMaskDataset,
+    SyntheticSliceDataset,
+)
+from ..data.loader import DataLoader
+from ..models import MaskSampler, SliceLDM
+from ..train import EMATrainState, build_optimizer
+
+__all__ = ["build_mask_sampler", "build_slice_ldm", "build_mask_dataset", "build_slice_dataset"]
+
+
+def build_mask_sampler(cfg: dict) -> MaskSampler:
+    """cfg keys mirror ccdm params.yml (unet_openai + diffusion sections)."""
+    u = cfg.get("unet_openai", {})
+    return MaskSampler.create(
+        num_classes=cfg.get("num_classes", 12),
+        time_steps=cfg.get("time_steps", 1000),
+        schedule=cfg.get("beta_schedule", "cosine"),
+        model_channels=u.get("base_channels", 64),
+        channel_mult=tuple(u.get("channel_mult", (1, 2, 2, 4, 5))),
+        attention_resolutions=tuple(u.get("attention_resolutions", (32, 16, 8))),
+        num_res_blocks=u.get("num_res_blocks", 2),
+        num_head_channels=u.get("num_head_channels", 32),
+        context_dim=cfg.get("feature_cond_encoder", {}).get("embed_dim")
+        if cfg.get("feature_cond_encoder", {}).get("type") == "selfattn"
+        else None,
+        dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
+        step_T_sample=cfg.get("step_T_sample", "majority"),
+        remat=cfg.get("remat", False),
+    )
+
+
+def build_slice_ldm(cfg: dict) -> SliceLDM:
+    """cfg keys mirror the LDM yaml model.params section."""
+    u = cfg.get("unet_config", {}).get("params", cfg.get("unet", {}))
+    return SliceLDM.create(
+        image_channels=cfg.get("channels", 1),
+        cond_channels=cfg.get("cond_channels", 2),
+        timesteps=cfg.get("timesteps", 1000),
+        beta_schedule=cfg.get("beta_schedule", "linear"),
+        linear_start=cfg.get("linear_start", 0.0015),
+        linear_end=cfg.get("linear_end", 0.0195),
+        model_channels=u.get("model_channels", 128),
+        channel_mult=tuple(u.get("channel_mult", (1, 2, 4, 4, 5))),
+        attention_resolutions=tuple(u.get("attention_resolutions", (32, 16, 8))),
+        num_res_blocks=u.get("num_res_blocks", 2),
+        num_head_channels=u.get("num_head_channels", 32),
+        context_dim=u.get("context_dim"),
+        dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
+        remat=cfg.get("remat", False),
+    )
+
+
+def build_mask_dataset(cfg: dict, split: str):
+    d = cfg.get("dataset", {})
+    kind = d.get("kind", "synthetic")
+    shape = tuple(d.get("volume_shape", (64, 128, 128)))
+    if kind == "synthetic":
+        return SyntheticMaskDataset(
+            num_cases=d.get("num_cases", 16),
+            volume_shape=shape,
+            num_classes=cfg.get("num_classes", 12),
+            seed=d.get("seed", 0),
+        )
+    if kind == "ruijin":
+        return RuijinMaskDataset(
+            d["index"], split=split, volume_shape=shape,
+            num_classes=cfg.get("num_classes", 12),
+            max_size=d.get("max_size"),
+        )
+    raise ValueError(f"unknown dataset kind {kind!r}")
+
+
+def build_slice_dataset(cfg: dict, split: str):
+    d = cfg.get("dataset", {})
+    kind = d.get("kind", "synthetic")
+    shape = tuple(d.get("slice_shape", (512, 512)))
+    if kind == "synthetic":
+        return SyntheticSliceDataset(
+            num_cases=d.get("num_cases", 16), slice_shape=shape,
+            depth=d.get("depth", 8), include_volumes=split != "train",
+        )
+    if kind == "ruijin":
+        return RuijinSlicePairDataset(d["index"], split=split, slice_shape=shape)
+    raise ValueError(f"unknown dataset kind {kind!r}")

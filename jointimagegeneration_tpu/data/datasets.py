@@ -1,0 +1,262 @@
+"""Datasets for both stages + synthetic fallbacks.
+
+Re-design of the reference's medical data layer (ccdm/datasets/ruijin.py,
+ldm/data/ruijin_pimage_and_mask.py / ruijin.py / ruijin_3d.py) on top of
+the framework's own NIfTI codec and numpy transforms:
+
+  * `RuijinMaskDataset` — stage 1: JSON index of {totalseg, crcseg, text}
+    per case -> 12-class one-hot (D,H,W,C) volume at 64x128x128, zeros
+    image placeholder, precomputed BERT feature .npz context
+    (ruijin.py:74-189; the reference trains with precomputed text
+    features, :108-111);
+  * `RuijinSlicePairDataset` — stage 2: h5-cached windowed CT volumes,
+    per-item random z slice returning image=current slice,
+    cond=[prev slice, mask slice], plus whole volumes for eval
+    (ruijin_pimage_and_mask.py:60-174);
+  * `SyntheticMaskDataset` / `SyntheticSliceDataset` — structured random
+    cases (ellipsoid 'organs') so every pipeline runs without PHI data.
+
+Items are numpy dicts; batching/prefetch is in loader.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .classes import NUM_CLASSES, remap_totalseg_labels
+from .nifti import read_nifti
+from .transforms import crop_or_pad, one_hot_np, random_flip, resize_volume, window_norm
+
+__all__ = [
+    "RuijinMaskDataset",
+    "RuijinSlicePairDataset",
+    "SyntheticMaskDataset",
+    "SyntheticSliceDataset",
+    "train_val_split",
+]
+
+
+def train_val_split(keys: Sequence[str], val_fraction: float = 0.05, seed: int = 0):
+    """Persistent-style split (reference writes splits.json, ruijin.py:47-56)."""
+    keys = sorted(keys)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(keys))
+    n_val = max(1, int(len(keys) * val_fraction))
+    val = {keys[i] for i in perm[:n_val]}
+    return [k for k in keys if k not in val], [k for k in keys if k in val]
+
+
+class RuijinMaskDataset:
+    """Stage-1 mask volumes from a JSON index.
+
+    Index schema (one entry per case name):
+      {"totalseg": path.nii.gz, "crcseg": path.nii.gz, "text": str,
+       "text_features": path.npz (optional)}
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        split: str = "train",
+        volume_shape: Tuple[int, int, int] = (64, 128, 128),
+        num_classes: int = NUM_CLASSES,
+        val_fraction: float = 0.05,
+        augment: bool = True,
+        max_size: Optional[int] = None,
+        seed: int = 0,
+    ):
+        with open(index_path) as f:
+            self.index: Dict[str, dict] = json.load(f)
+        train_keys, val_keys = train_val_split(list(self.index), val_fraction, seed)
+        self.keys = train_keys if split == "train" else val_keys
+        if max_size:
+            self.keys = self.keys[:max_size]
+        self.base = Path(index_path).parent
+        self.volume_shape = volume_shape
+        self.num_classes = num_classes
+        self.augment = augment and split == "train"
+        self.rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+
+    def __len__(self):
+        return len(self.keys)
+
+    def _resolve(self, p: str) -> str:
+        return p if os.path.isabs(p) else str(self.base / p)
+
+    def __getitem__(self, i: int) -> dict:
+        case = self.index[self.keys[i]]
+        seg, _ = read_nifti(self._resolve(case["totalseg"]))
+        tumor = None
+        if case.get("crcseg"):
+            tumor, _ = read_nifti(self._resolve(case["crcseg"]))
+        labels = remap_totalseg_labels(np.asarray(seg), tumor)
+        # reference: tio.Resize to (128,128,64) in (h,w,z); ours is (D,H,W)
+        labels = resize_volume(labels, self.volume_shape, method="nearest").astype(np.int32)
+        if self.augment:
+            (labels,) = random_flip(self.rng, labels, axis=-1)
+        mask = one_hot_np(labels, self.num_classes)
+        context = None
+        if case.get("text_features"):
+            with np.load(self._resolve(case["text_features"])) as z:
+                context = z[list(z.files)[0]].astype(np.float32)
+        item = {
+            "mask": mask,
+            # zeros image placeholder — the checked-in config conditions on a
+            # zero image channel (ruijin.py:181-182)
+            "image": np.zeros(self.volume_shape + (1,), np.float32),
+            "casename": self.keys[i],
+        }
+        if context is not None:
+            item["context"] = context
+        if case.get("text"):
+            item["text"] = case["text"]
+        return item
+
+
+class RuijinSlicePairDataset:
+    """Stage-2 (image, [prev, mask]) slice pairs from CT+seg volumes.
+
+    Mirrors ruijin_pimage_and_mask.PretrainDataset:141-159: window-normed
+    CT, per-item random z, cond channel 0 = previous slice (zeros at z=0),
+    cond channel 1 = seg slice scaled into [0,1]."""
+
+    def __init__(
+        self,
+        index_path: str,
+        split: str = "train",
+        slice_shape: Tuple[int, int] = (512, 512),
+        num_classes: int = NUM_CLASSES,
+        val_fraction: float = 0.05,
+        include_volumes: bool = False,
+        seed: int = 0,
+    ):
+        with open(index_path) as f:
+            self.index = json.load(f)
+        train_keys, val_keys = train_val_split(list(self.index), val_fraction, seed)
+        self.keys = train_keys if split == "train" else val_keys
+        self.base = Path(index_path).parent
+        self.slice_shape = slice_shape
+        self.num_classes = num_classes
+        self.include_volumes = include_volumes or split != "train"
+        self.rng = np.random.default_rng(seed + 17)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def _resolve(self, p):
+        return p if os.path.isabs(p) else str(self.base / p)
+
+    def _load_case(self, case: dict):
+        img, _ = read_nifti(self._resolve(case["image"]))
+        seg, _ = read_nifti(self._resolve(case["totalseg"]))
+        tumor = None
+        if case.get("crcseg"):
+            tumor, _ = read_nifti(self._resolve(case["crcseg"]))
+        labels = remap_totalseg_labels(np.asarray(seg), tumor)
+        img = window_norm(np.asarray(img))
+        # (D, H, W) with H,W = slice_shape
+        img = crop_or_pad(img, (img.shape[0],) + self.slice_shape)
+        labels = crop_or_pad(labels, (labels.shape[0],) + self.slice_shape)
+        return img, labels
+
+    def __getitem__(self, i: int) -> dict:
+        case = self.index[self.keys[i]]
+        img, labels = self._load_case(case)
+        d = img.shape[0]
+        z = int(self.rng.integers(0, d))
+        prev = img[z - 1] if z > 0 else np.zeros_like(img[0])
+        mask_slice = labels[z].astype(np.float32) / max(self.num_classes - 1, 1)
+        item = {
+            "image": img[z][..., None].astype(np.float32),
+            "cond": np.stack([prev, mask_slice], axis=-1).astype(np.float32),
+            "casename": self.keys[i],
+        }
+        if self.include_volumes:
+            item["wholeimage"] = img[..., None].astype(np.float32)
+            item["wholemask"] = (labels.astype(np.float32) / max(self.num_classes - 1, 1))[..., None]
+        return item
+
+
+# ---------------------------------------------------------------------------
+# synthetic data (tests, benchmarks, demos)
+# ---------------------------------------------------------------------------
+
+
+def _ellipsoid(shape, center, radii):
+    grids = np.ogrid[tuple(slice(0, s) for s in shape)]
+    acc = np.zeros(shape, np.float32)
+    for g, c, r in zip(grids, center, radii):
+        acc = acc + ((g - c) / max(r, 1e-3)) ** 2
+    return acc <= 1.0
+
+
+def synthesize_case(rng: np.random.Generator, shape: Tuple[int, int, int], num_classes: int):
+    """Random 'abdomen': background 0, several ellipsoid organs, one tumor."""
+    labels = np.zeros(shape, np.int32)
+    for cls in range(1, num_classes):
+        center = [rng.uniform(0.2, 0.8) * s for s in shape]
+        radii = [rng.uniform(0.05, 0.22) * s for s in shape]
+        labels[_ellipsoid(shape, center, radii)] = cls
+    return labels
+
+
+class SyntheticMaskDataset:
+    def __init__(self, num_cases: int = 16, volume_shape=(64, 128, 128), num_classes: int = NUM_CLASSES,
+                 context_shape: Optional[Tuple[int, int]] = None, seed: int = 0):
+        self.num_cases = num_cases
+        self.volume_shape = volume_shape
+        self.num_classes = num_classes
+        self.context_shape = context_shape
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_cases
+
+    def __getitem__(self, i: int) -> dict:
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        labels = synthesize_case(rng, self.volume_shape, self.num_classes)
+        item = {
+            "mask": one_hot_np(labels, self.num_classes),
+            "image": np.zeros(self.volume_shape + (1,), np.float32),
+            "casename": f"synth_{i:04d}",
+        }
+        if self.context_shape is not None:
+            item["context"] = rng.standard_normal(self.context_shape).astype(np.float32)
+        return item
+
+
+class SyntheticSliceDataset:
+    def __init__(self, num_cases: int = 16, slice_shape=(512, 512), depth: int = 8,
+                 num_classes: int = NUM_CLASSES, include_volumes: bool = False, seed: int = 0):
+        self.num_cases = num_cases
+        self.slice_shape = slice_shape
+        self.depth = depth
+        self.num_classes = num_classes
+        self.include_volumes = include_volumes
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_cases
+
+    def __getitem__(self, i: int) -> dict:
+        rng = np.random.default_rng(self.seed * 65537 + i)
+        shape = (self.depth,) + self.slice_shape
+        labels = synthesize_case(rng, shape, self.num_classes)
+        img = window_norm(labels * 30.0 + rng.standard_normal(shape) * 20.0, 60, 360)
+        z = int(rng.integers(0, self.depth))
+        prev = img[z - 1] if z > 0 else np.zeros_like(img[0])
+        mask_slice = labels[z].astype(np.float32) / max(self.num_classes - 1, 1)
+        item = {
+            "image": img[z][..., None].astype(np.float32),
+            "cond": np.stack([prev, mask_slice], axis=-1).astype(np.float32),
+            "casename": f"synth_{i:04d}",
+        }
+        if self.include_volumes:
+            item["wholeimage"] = img[..., None].astype(np.float32)
+            item["wholemask"] = (labels.astype(np.float32) / max(self.num_classes - 1, 1))[..., None]
+        return item

@@ -1,0 +1,156 @@
+"""Stage 1 — categorical-diffusion volumetric mask sampler.
+
+TPU-native equivalent of ccdm's DenoisingModel + evaluator drive loop
+(ccdm/ddpm/models/diffusion_denoising.py:142-227, ccdm/ddpm/evaluator.py:128-170):
+a 3D UNet predicts x0 class probabilities and the sampler walks the
+categorical posterior from t=T to t=1.
+
+The whole reverse loop is ONE `lax.scan` program: schedule tensors are
+scan constants, the per-step categorical posterior is the O(C)
+closed form (diffusion/categorical.py), and PRNG keys are threaded
+through the carry — so a full 250-step volume sample is a single XLA
+executable with no per-step host dispatch (the reference re-dispatches
+the UNet from Python each step).
+
+Step-subsetting mirrors the reference's `init_t > 10000` encoding of
+"use K steps" (diffusion_denoising.py:190-197): K steps are taken at
+round(linspace(T, 1, K)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.categorical import (
+    CategoricalDiffusion,
+    max_prob_one_hot,
+    sample_one_hot,
+)
+from ..nn.unet import UNet
+
+__all__ = ["MaskSampler"]
+
+
+def sampling_t_values(time_steps: int, num_steps: Optional[int] = None) -> np.ndarray:
+    """Descending t values in [1, T]; K-step subset via rounded linspace."""
+    if num_steps is None or num_steps == time_steps:
+        return np.arange(time_steps, 0, -1, dtype=np.int32)
+    assert 0 < num_steps <= time_steps
+    return np.round(np.linspace(time_steps, 1, num_steps)).astype(np.int32)
+
+
+@dataclass(frozen=True)
+class MaskSampler:
+    """UNet + categorical process + scan sampler.  Pure/functional: params
+    are passed explicitly to every method."""
+
+    unet: UNet
+    diffusion: CategoricalDiffusion
+    num_classes: int
+    step_T_sample: str = "majority"  # 'majority' (argmax) | 'confidence' (sample)
+
+    @classmethod
+    def create(
+        cls,
+        num_classes: int = 12,
+        img_channels: int = 1,
+        time_steps: int = 1000,
+        schedule: str = "cosine",
+        model_channels: int = 64,
+        channel_mult: Sequence[int] = (1, 2, 2, 4, 5),
+        attention_resolutions: Sequence[int] = (32, 16, 8),
+        num_res_blocks: int = 2,
+        num_head_channels: int = 32,
+        context_dim: Optional[int] = None,
+        dtype=jnp.float32,
+        step_T_sample: str = "majority",
+        remat: bool = False,
+        **schedule_params,
+    ) -> "MaskSampler":
+        """Mirror of ccdm's build_model (models/builder.py:14-53):
+        UNet input = one-hot classes + condition-image channels."""
+        unet = UNet(
+            model_channels=model_channels,
+            out_channels=num_classes,
+            num_res_blocks=num_res_blocks,
+            attention_resolutions=tuple(attention_resolutions),
+            channel_mult=tuple(channel_mult),
+            dims=3,
+            num_head_channels=num_head_channels,
+            softmax_output=True,
+            context_dim=context_dim,
+            dtype=dtype,
+            remat=remat,
+        )
+        diffusion = CategoricalDiffusion.create(schedule, time_steps, num_classes, **schedule_params)
+        return cls(unet=unet, diffusion=diffusion, num_classes=num_classes, step_T_sample=step_T_sample)
+
+    # -- init ----------------------------------------------------------------
+
+    def init_params(self, key: jax.Array, spatial: Sequence[int], cond_channels: int = 1, context_shape=None):
+        x = jnp.zeros((1, *spatial, self.num_classes))
+        cond = jnp.zeros((1, *spatial, cond_channels)) if cond_channels else None
+        ctx = None if context_shape is None else jnp.zeros((1, *context_shape))
+        t = jnp.zeros((1,))
+        return self.unet.init(key, x, t, cond=cond, context=ctx)
+
+    # -- one denoise step (the benchmarked unit) ------------------------------
+
+    def denoise_step(self, params, key, xt, t, cond=None, context=None):
+        """UNet x0-probs -> categorical posterior -> next x_{t-1} one-hot.
+
+        `t` is a (B,)-int array in [1, T].  At t==1 the decode rule applies
+        ('majority' argmax / 'confidence' sample), matching
+        diffusion_denoising.py:218-224."""
+        x0pred = self.unet.apply(params, xt, t.astype(jnp.float32), cond=cond, context=context)
+        probs = self.diffusion.theta_post_prob(xt, x0pred, t)
+        probs = jnp.maximum(probs, 1e-12)
+        sampled = sample_one_hot(key, probs)
+        if self.step_T_sample == "confidence":
+            decoded = sampled
+        else:
+            decoded = max_prob_one_hot(probs)
+        is_last = (t <= 1).reshape((-1,) + (1,) * (xt.ndim - 1))
+        return jnp.where(is_last, decoded, sampled)
+
+    # -- full reverse chain, scan-compiled ------------------------------------
+
+    def sample(
+        self,
+        params,
+        key: jax.Array,
+        shape: Sequence[int],
+        cond: Optional[jnp.ndarray] = None,
+        context: Optional[jnp.ndarray] = None,
+        num_steps: Optional[int] = None,
+        x_init: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Sample a (B, D, H, W, C) one-hot mask volume.
+
+        Starts from a uniform categorical draw (evaluator.py:136) unless
+        `x_init` is given.  Returns the one-hot decode at t=1.
+        """
+        b = shape[0]
+        t_values = jnp.asarray(sampling_t_values(self.diffusion.time_steps, num_steps))
+        if x_init is None:
+            key, sub = jax.random.split(key)
+            x_init = sample_one_hot(sub, jnp.full((*shape, self.num_classes), 1.0 / self.num_classes))
+
+        def body(carry, t):
+            xt, k = carry
+            k, sub = jax.random.split(k)
+            t_b = jnp.full((b,), t, jnp.int32)
+            xt = self.denoise_step(params, sub, xt, t_b, cond=cond, context=context)
+            return (xt, k), None
+
+        (x, _), _ = jax.lax.scan(body, (x_init, key), t_values)
+        return x
+
+    def sample_labels(self, params, key, shape, **kw) -> jnp.ndarray:
+        """Integer label volume (B, D, H, W) — the stage-1→2 contract."""
+        return jnp.argmax(self.sample(params, key, shape, **kw), axis=-1)

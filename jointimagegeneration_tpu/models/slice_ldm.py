@@ -1,0 +1,157 @@
+"""Stage 2 — conditional CT slice generator with autoregressive volume assembly.
+
+TPU-native equivalent of the LatentDiffusion + DDIMSampler + sample_cond
+drive loop (latentdiffusion/ldm/models/diffusion/ddpm.py:429-1459,
+ddim.py:11-205, sample_diffusion.py:165-273).
+
+Two scan levels, both compiled once:
+  * inner: the 50-step DDIM chain for one slice is a `lax.scan` over the
+    timestep-subset indices (the reference dispatches the UNet from
+    Python per step, ddim.py:141-164);
+  * outer: the autoregressive z loop is a `lax.scan` with the previously
+    generated slice as carry (the reference's Python for-loop over z,
+    sample_diffusion.py:208-223) — so a whole volume is ONE XLA program.
+
+Conditioning is 'concat' (ddpm.py:1415-1420): the UNet input is
+[x_t | prev generated slice | current mask slice] along channels.  Each
+generated slice is min-max normalised independently before being written
+into the volume and used as the next condition — replicating
+sample_diffusion.py:222 exactly (flagged in SURVEY.md §7.3 as a known
+flicker source, kept for comparability).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.ddim import DDIMParams, ddim_step
+from ..diffusion.gaussian import GaussianDiffusion
+from ..nn.unet import UNet
+
+__all__ = ["SliceLDM"]
+
+
+@dataclass(frozen=True)
+class SliceLDM:
+    unet: UNet
+    diffusion: GaussianDiffusion
+    channels: int = 1  # generated image channels
+    cond_channels: int = 2  # [prev slice, mask slice]
+
+    @classmethod
+    def create(
+        cls,
+        image_channels: int = 1,
+        cond_channels: int = 2,
+        timesteps: int = 1000,
+        beta_schedule: str = "linear",
+        linear_start: float = 0.0015,
+        linear_end: float = 0.0195,
+        model_channels: int = 128,
+        channel_mult: Sequence[int] = (1, 2, 4, 4, 5),
+        attention_resolutions: Sequence[int] = (32, 16, 8),
+        num_res_blocks: int = 2,
+        num_head_channels: int = 32,
+        context_dim: Optional[int] = None,
+        parameterization: str = "eps",
+        dtype=jnp.float32,
+        remat: bool = False,
+    ) -> "SliceLDM":
+        unet = UNet(
+            model_channels=model_channels,
+            out_channels=image_channels,
+            num_res_blocks=num_res_blocks,
+            attention_resolutions=tuple(attention_resolutions),
+            channel_mult=tuple(channel_mult),
+            dims=2,
+            num_head_channels=num_head_channels,
+            softmax_output=False,
+            context_dim=context_dim,
+            dtype=dtype,
+            remat=remat,
+        )
+        diffusion = GaussianDiffusion.create(
+            beta_schedule, timesteps, linear_start=linear_start, linear_end=linear_end,
+            parameterization=parameterization,
+        )
+        return cls(unet=unet, diffusion=diffusion, channels=image_channels, cond_channels=cond_channels)
+
+    def init_params(self, key: jax.Array, size: int, context_shape=None):
+        x = jnp.zeros((1, size, size, self.channels))
+        cond = jnp.zeros((1, size, size, self.cond_channels))
+        ctx = None if context_shape is None else jnp.zeros((1, *context_shape))
+        return self.unet.init(key, x, jnp.zeros((1,)), cond=cond, context=ctx)
+
+    # -- eps model -----------------------------------------------------------
+
+    def apply_model(self, params, x, t, cond=None, context=None):
+        """DiffusionWrapper 'concat' mode (ddpm.py:1408-1420)."""
+        return self.unet.apply(params, x, t.astype(jnp.float32), cond=cond, context=context)
+
+    # -- single-slice DDIM sampling, scan-compiled -----------------------------
+
+    def sample_slice(
+        self,
+        params,
+        key: jax.Array,
+        cond: jnp.ndarray,  # (B, H, W, cond_channels)
+        ddim: DDIMParams,
+        context: Optional[jnp.ndarray] = None,
+        x_T: Optional[jnp.ndarray] = None,
+        temperature: float = 1.0,
+    ) -> jnp.ndarray:
+        b, h, w, _ = cond.shape
+        if x_T is None:
+            key, sub = jax.random.split(key)
+            x_T = jax.random.normal(sub, (b, h, w, self.channels))
+
+        def body(carry, index):
+            x, k = carry
+            k, sub = jax.random.split(k)
+            t_b = jnp.full((b,), ddim.timesteps[index], jnp.int32)
+            e_t = self.apply_model(params, x, t_b, cond=cond, context=context)
+            x, _ = ddim_step(ddim, sub, x, e_t.astype(x.dtype), index, temperature)
+            return (x, k), None
+
+        indices = jnp.arange(ddim.num_steps - 1, -1, -1)
+        (x, _), _ = jax.lax.scan(body, (x_T, key), indices)
+        return x
+
+    # -- autoregressive volume, both loops fused ------------------------------
+
+    def sample_volume(
+        self,
+        params,
+        key: jax.Array,
+        mask_volume: jnp.ndarray,  # (B, D, H, W, 1) mask channel, already windowed
+        ddim: DDIMParams,
+        context: Optional[jnp.ndarray] = None,
+        init_slice: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Generate all D slices autoregressively; returns (B, D, H, W, C).
+
+        The first slice is conditioned on `init_slice` (zeros by default,
+        mirroring sample_cond's zero-initialised volume buffer,
+        sample_diffusion.py:196-210)."""
+        b, d, h, w, _ = mask_volume.shape
+        if init_slice is None:
+            init_slice = jnp.zeros((b, h, w, self.channels))
+
+        def body(carry, mask_slice):
+            prev, k = carry
+            k, sub = jax.random.split(k)
+            cond = jnp.concatenate([prev, mask_slice], axis=-1)
+            s = self.sample_slice(params, sub, cond, ddim, context=context)
+            # per-slice min-max normalisation (sample_diffusion.py:222)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            s = (s - lo) / jnp.maximum(hi - lo, 1e-8)
+            return (s, k), s
+
+        mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)  # (D, B, H, W, 1)
+        (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
+        return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)

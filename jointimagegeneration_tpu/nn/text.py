@@ -1,0 +1,99 @@
+"""Text conditioning encoders.
+
+  * `TextFeatureRefiner` — trainable self-attention refiner over
+    precomputed BERT features, the TPU equivalent of PreloadedBERTEncoder
+    (ccdm/ddpm/models/encoder.py:103-123): N BasicTransformerBlocks of
+    pure self-attention + residual.  This is the encoder the reference
+    actually trains with (precomputed .npz features,
+    ccdm/datasets/ruijin.py:108-111).
+  * `FrozenBERTEmbedder` — host-side frozen HF BERT for on-the-fly text
+    encoding (encoder.py:21-101), gated on `transformers`; includes the
+    long-report splitting behaviour (>512 tokens -> chunked encode +
+    concat).  Runs in torch on CPU, emits numpy features the JAX models
+    consume as `context`.
+  * `IdentityEncoder` — passthrough cond encoder
+    (ldm/modules/encoders/modules.py:287-289), the stage-2 default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .transformer import BasicTransformerBlock
+
+__all__ = ["TextFeatureRefiner", "FrozenBERTEmbedder", "IdentityEncoder"]
+
+
+class TextFeatureRefiner(nn.Module):
+    """(B, T, D) precomputed text features -> refined (B, T, D), residual."""
+
+    embed_dim: int = 768
+    n_heads: int = 8
+    depth: int = 4
+    d_head: int = 64
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        h = feats
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.n_heads, self.d_head, self.dropout, name=f"block_{i}")(
+                h, None, deterministic=deterministic
+            )
+        return h + feats
+
+
+class IdentityEncoder:
+    """cond passthrough (stage-2 primary config)."""
+
+    def __call__(self, x):
+        return x
+
+    def encode(self, x):
+        return x
+
+
+class FrozenBERTEmbedder:
+    """Frozen HF BERT feature extractor (host-side, torch CPU).
+
+    Returns last_hidden_state as numpy (B, n_chunks*L, D).  Long texts are
+    split into max_length chunks and encoded separately, mirroring the
+    reference's huffman-split path for >512-token Chinese reports."""
+
+    def __init__(self, model_name_or_path: str, max_length: int = 512, device: str = "cpu"):
+        try:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("FrozenBERTEmbedder requires `transformers` + `torch`") from e
+        self._torch = torch
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.model = AutoModel.from_pretrained(model_name_or_path).eval().to(device)
+        for p in self.model.parameters():
+            p.requires_grad = False
+        self.max_length = max_length
+        self.device = device
+
+    def __call__(self, texts) -> np.ndarray:
+        torch = self._torch
+        if isinstance(texts, str):
+            texts = [texts]
+        feats = []
+        with torch.no_grad():
+            for text in texts:
+                ids = self.tokenizer(text, return_tensors="pt", truncation=False)["input_ids"][0]
+                chunks = [ids[i : i + self.max_length] for i in range(0, len(ids), self.max_length)] or [ids]
+                outs = []
+                for ch in chunks:
+                    out = self.model(ch[None].to(self.device)).last_hidden_state
+                    outs.append(out[0])
+                feats.append(torch.cat(outs, dim=0).cpu().numpy())
+        maxlen = max(f.shape[0] for f in feats)
+        out = np.zeros((len(feats), maxlen, feats[0].shape[-1]), np.float32)
+        for i, f in enumerate(feats):
+            out[i, : f.shape[0]] = f
+        return out

@@ -1,0 +1,139 @@
+"""VAE encoder/decoder backbones (dims ∈ {2, 3}), channels-last.
+
+Re-design of the CompVis VAE stacks the reference generalises to 3D
+(latentdiffusion/ldm/modules/diffusionmodules/model.py:42-631): resnet
+blocks without timestep conditioning, attention at configured
+resolutions, stride-2 resampling, double-z Gaussian head.  Also the
+vector quantizer for the VQ variant (the reference imports it from the
+missing taming package — ldm/models/autoencoder.py:18)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import AttentionBlock, GroupNorm32, _conv, _nearest_up2
+
+__all__ = ["Encoder", "Decoder", "VectorQuantizer"]
+
+
+class VAEResBlock(nn.Module):
+    """GN→swish→conv ×2 with 1x1 shortcut (model.py:85-146, temb unused)."""
+
+    out_channels: int
+    dims: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.silu(GroupNorm32(name="norm1")(x))
+        h = _conv(self.out_channels, 3, self.dims, name="conv1")(h)
+        h = nn.silu(GroupNorm32(name="norm2")(h))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = _conv(self.out_channels, 3, self.dims, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = _conv(self.out_channels, 1, self.dims, name="nin_shortcut")(x)
+        return x + h
+
+
+class Encoder(nn.Module):
+    """(B, *S, in_ch) -> (B, *S/2^L, 2*z_channels if double_z else z_channels)."""
+
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = ()
+    z_channels: int = 4
+    double_z: bool = True
+    dims: int = 2
+    dropout: float = 0.0
+    resolution: int = 256  # nominal input size used to track attn placement
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        h = _conv(self.ch, 3, self.dims, name="conv_in")(x)
+        res = self.resolution
+        for level, mult in enumerate(self.ch_mult):
+            for i in range(self.num_res_blocks):
+                h = VAEResBlock(self.ch * mult, self.dims, self.dropout, name=f"down_{level}_{i}")(
+                    h, deterministic=deterministic
+                )
+                if res in self.attn_resolutions:
+                    h = AttentionBlock(num_heads=1, name=f"down_{level}_{i}_attn")(h)
+            if level != len(self.ch_mult) - 1:
+                h = _conv(h.shape[-1], 3, self.dims, strides=2, name=f"down_{level}_ds")(h)
+                res //= 2
+        h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_1")(h, deterministic=deterministic)
+        h = AttentionBlock(num_heads=1, name="mid_attn")(h)
+        h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_2")(h, deterministic=deterministic)
+        h = nn.silu(GroupNorm32(name="norm_out")(h))
+        out_ch = 2 * self.z_channels if self.double_z else self.z_channels
+        return _conv(out_ch, 3, self.dims, name="conv_out")(h)
+
+
+class Decoder(nn.Module):
+    """(B, *S, z_channels) -> (B, *S*2^L, out_ch)."""
+
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = ()
+    out_ch: int = 1
+    dims: int = 2
+    dropout: float = 0.0
+    resolution: int = 256
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        res = self.resolution // 2 ** (len(self.ch_mult) - 1)
+        h = _conv(self.ch * self.ch_mult[-1], 3, self.dims, name="conv_in")(z)
+        h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_1")(h, deterministic=deterministic)
+        h = AttentionBlock(num_heads=1, name="mid_attn")(h)
+        h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_2")(h, deterministic=deterministic)
+        for level, mult in reversed(list(enumerate(self.ch_mult))):
+            for i in range(self.num_res_blocks + 1):
+                h = VAEResBlock(self.ch * mult, self.dims, self.dropout, name=f"up_{level}_{i}")(
+                    h, deterministic=deterministic
+                )
+                if res in self.attn_resolutions:
+                    h = AttentionBlock(num_heads=1, name=f"up_{level}_{i}_attn")(h)
+            if level != 0:
+                h = _nearest_up2(h, self.dims)
+                h = _conv(h.shape[-1], 3, self.dims, name=f"up_{level}_us")(h)
+                res *= 2
+        h = nn.silu(GroupNorm32(name="norm_out")(h))
+        return _conv(self.out_ch, 3, self.dims, name="conv_out")(h)
+
+
+class VectorQuantizer(nn.Module):
+    """Codebook quantizer with straight-through estimator (the missing
+    taming/modules/vqvae/quantize.py dependency of VQModel)."""
+
+    n_embed: int = 8192
+    embed_dim: int = 4
+    beta: float = 0.25
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray):
+        codebook = self.param(
+            "codebook",
+            nn.initializers.uniform(scale=2.0 / self.n_embed),
+            (self.n_embed, self.embed_dim),
+        )
+        flat = z.reshape(-1, self.embed_dim)
+        d = (
+            jnp.sum(flat**2, -1, keepdims=True)
+            - 2 * flat @ codebook.T
+            + jnp.sum(codebook**2, -1)[None]
+        )
+        idx = jnp.argmin(d, axis=-1)
+        zq = codebook[idx].reshape(z.shape)
+        commit = jnp.mean((jax.lax.stop_gradient(zq) - z) ** 2)
+        embed = jnp.mean((zq - jax.lax.stop_gradient(z)) ** 2)
+        loss = self.beta * commit + embed
+        zq = z + jax.lax.stop_gradient(zq - z)  # straight-through
+        return zq, loss, idx.reshape(z.shape[:-1])

@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's entire distributed surface — ignite
+`idist.Parallel(backend="nccl")` per-rank process spawn + DDP wrap +
+DistributedSampler (ccdm/ddpm_train.py:32-39, trainer.py:719-786) and
+Lightning `strategy="ddp"` (latentdiffusion/main.py:603-613) — with a
+single `jax.sharding.Mesh`:
+
+  * data parallelism = batch axis sharded over 'data'; gradient all-reduce
+    is the XLA psum jit inserts, not a wrapper;
+  * optional 'model' axis for spatial/tensor sharding of the 512² UNet;
+  * rank-0 gating (`idist.one_rank_only`) becomes `jax.process_index()==0`;
+  * DistributedSampler becomes host-local data +
+    `jax.make_array_from_process_local_data`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "is_chief"]
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('data', 'model') mesh over all (or given) devices; data fills the
+    remainder by default."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch, batch_axis: str = "data"):
+    """Place a host-local batch pytree with the leading axis sharded over
+    the data axis (per-process shards when multihost)."""
+    sharding = NamedSharding(mesh, P(batch_axis))
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params/state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def is_chief() -> bool:
+    """Rank-0 gate (reference: idist.one_rank_only / rank_zero_only)."""
+    return jax.process_index() == 0

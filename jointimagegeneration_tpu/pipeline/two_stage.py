@@ -1,0 +1,70 @@
+"""End-to-end text → mask → CT pipeline.
+
+The reference leaves the stage-1 → stage-2 handoff manual: ddpm_eval
+writes pred.nii.gz masks (ccdm/ddpm/evaluator.py:141-148), which are
+upsampled offline and re-read by sample_diffusion (README.md:22,
+sample_diffusion.py:196-224).  Here the handoff is programmatic and
+on-device: mask volume → nearest-neighbour label upsample
+(`jax.image.resize`) → per-slice windowed mask channel → autoregressive
+stage-2 volume, all inside jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.ddim import DDIMParams
+from ..models.mask_sampler import MaskSampler
+from ..models.slice_ldm import SliceLDM
+
+__all__ = ["TwoStagePipeline", "upsample_labels"]
+
+
+def upsample_labels(labels: jnp.ndarray, target_shape: Sequence[int]) -> jnp.ndarray:
+    """Nearest-neighbour resize of an integer label volume (B, D, H, W).
+
+    Labels must use 'nearest' (interpolating class ids is meaningless);
+    equivalent of the reference's offline zoom of the 64×128×128 ccdm mask
+    to the stage-2 grid (sample_diffusion.py:199-200)."""
+    b = labels.shape[0]
+    return jax.image.resize(labels, (b, *target_shape), method="nearest")
+
+
+def normalize_mask_channel(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Map integer labels into [0,1] as the stage-2 mask condition channel
+    (the reference feeds the windowed mask volume as a float channel,
+    ruijin_pimage_and_mask.py:141-159)."""
+    return labels.astype(jnp.float32)[..., None] / max(num_classes - 1, 1)
+
+
+@dataclass(frozen=True)
+class TwoStagePipeline:
+    mask_sampler: MaskSampler
+    slice_ldm: SliceLDM
+
+    def __call__(
+        self,
+        mask_params,
+        ldm_params,
+        key: jax.Array,
+        *,
+        mask_shape: Tuple[int, int, int, int],  # (B, D, H, W) of stage 1
+        volume_shape: Tuple[int, int, int],  # (D', H', W') of the CT volume
+        ddim: DDIMParams,
+        mask_steps: Optional[int] = None,
+        cond: Optional[jnp.ndarray] = None,
+        context: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (ct_volume (B,D',H',W',C), labels (B,D',H',W'))."""
+        k1, k2 = jax.random.split(key)
+        labels = self.mask_sampler.sample_labels(
+            mask_params, k1, mask_shape, cond=cond, context=context, num_steps=mask_steps
+        )
+        labels_up = upsample_labels(labels, volume_shape)
+        mask_channel = normalize_mask_channel(labels_up, self.mask_sampler.num_classes)
+        ct = self.slice_ldm.sample_volume(ldm_params, k2, mask_channel, ddim, context=context)
+        return ct, labels_up

@@ -1,0 +1,147 @@
+"""VAE+GAN dual-optimizer training (the `_ae` config capability).
+
+Pure-JAX re-derivation of LPIPSWithDiscriminator
+(latentdiffusion/ldm/modules/losses/contperceptual.py:49-293):
+
+  generator loss = L1/L2 rec (+ perceptual) / exp(logvar) + kl_weight·KL
+                 + d_weight · disc_factor · (−mean D(rec))
+                 (+ feature-matching on D activations for the 3D path)
+  discriminator  = hinge or vanilla on (D(real), D(fake))
+  d_weight       = ||∂nll/∂(last dec layer)|| / ||∂g/∂(last dec layer)||,
+                   clipped to [0, 1e4] · disc_weight  (contperceptual.py:83-94)
+  disc_factor    = 0 before `disc_start` steps (adopt_weight)
+
+The reference alternates Lightning optimizer_idx per batch
+(autoencoder.py:385-429); here one jitted step updates generator and
+discriminator sequentially — two optax states, one program, no host
+round-trip between the two phases."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.autoencoder import AutoencoderKL
+from ..nn.discriminators import PatchDiscriminator
+
+__all__ = ["GANTrainState", "make_autoencoder_train_step", "hinge_d_loss", "vanilla_d_loss"]
+
+
+def hinge_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (jnp.mean(jax.nn.relu(1.0 - logits_real)) + jnp.mean(jax.nn.relu(1.0 + logits_fake)))
+
+
+def vanilla_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (jnp.mean(jax.nn.softplus(-logits_real)) + jnp.mean(jax.nn.softplus(logits_fake)))
+
+
+@struct.dataclass
+class GANTrainState:
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    g_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    d_tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, g_params, d_params, g_tx, d_tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params, d_params=d_params,
+            g_opt=g_tx.init(g_params), d_opt=d_tx.init(d_params),
+            g_tx=g_tx, d_tx=d_tx,
+        )
+
+
+def _last_layer_grad_norm(loss_fn: Callable, params, last_layer_path=("decoder", "conv_out", "kernel")):
+    """||∂loss/∂last_layer|| — the adaptive-weight denominators
+    (contperceptual.py:83-94) via grad wrt a single leaf."""
+
+    def pick(p):
+        node = p["params"]
+        for k in last_layer_path:
+            node = node[k]
+        return node
+
+    grads = jax.grad(loss_fn)(params)
+    g = pick(grads)
+    return jnp.linalg.norm(g.reshape(-1))
+
+
+def make_autoencoder_train_step(
+    model: AutoencoderKL,
+    discriminator: PatchDiscriminator,
+    kl_weight: float = 1e-6,
+    disc_weight: float = 0.5,
+    disc_start: int = 50001,
+    pixel_loss: str = "l1",
+    perceptual_fn: Optional[Callable] = None,
+    perceptual_weight: float = 1.0,
+    disc_loss: str = "hinge",
+    adaptive_d_weight: bool = True,
+) -> Callable:
+    d_loss_fn = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
+
+    def rec_terms(g_params, key, x):
+        rec, posterior = model.apply(g_params, x, key)
+        if pixel_loss == "l1":
+            rec_err = jnp.abs(x - rec)
+        else:
+            rec_err = (x - rec) ** 2
+        if perceptual_fn is not None:
+            rec_err = rec_err + perceptual_weight * perceptual_fn(x, rec)
+        nll = jnp.sum(rec_err) / x.shape[0]
+        kl = jnp.sum(posterior.kl()) / x.shape[0]
+        return rec, nll, kl
+
+    def step(state: GANTrainState, batch: dict, key: jax.Array):
+        x = batch["image"]
+        k_sample, _ = jax.random.split(key)
+        disc_factor = jnp.where(state.step >= disc_start, 1.0, 0.0)
+
+        # ---- generator ----------------------------------------------------
+        def g_loss_fn(g_params):
+            rec, nll, kl = rec_terms(g_params, k_sample, x)
+            logits_fake = discriminator.apply(state.d_params, rec)
+            g_adv = -jnp.mean(logits_fake)
+            if adaptive_d_weight:
+                nll_n = _last_layer_grad_norm(lambda p: rec_terms(p, k_sample, x)[1], g_params)
+                adv_n = _last_layer_grad_norm(
+                    lambda p: -jnp.mean(discriminator.apply(state.d_params, model.apply(p, x, k_sample)[0])),
+                    g_params,
+                )
+                d_weight = jnp.clip(nll_n / (adv_n + 1e-4), 0.0, 1e4) * disc_weight
+                d_weight = jax.lax.stop_gradient(d_weight)
+            else:
+                d_weight = disc_weight
+            loss = nll + kl_weight * kl + d_weight * disc_factor * g_adv
+            return loss, {"nll": nll, "kl": kl, "g_adv": g_adv, "d_weight": d_weight, "rec": rec}
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = state.g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        rec = jax.lax.stop_gradient(aux.pop("rec"))
+
+        # ---- discriminator -------------------------------------------------
+        def d_loss_closure(d_params):
+            logits_real = discriminator.apply(d_params, x)
+            logits_fake = discriminator.apply(d_params, rec)
+            return disc_factor * d_loss_fn(logits_real, logits_fake)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_closure)(state.d_params)
+        d_updates, d_opt = state.d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = {"loss": g_loss, "d_loss": d_loss, **{k: v for k, v in aux.items()}}
+        new_state = state.replace(
+            step=state.step + 1, g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt
+        )
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,127 @@
+"""Optimizer + LR-schedule factory.
+
+Unifies the two reference generations into optax:
+  * ccdm: SGD/Adam/AdamW + LRFcts multipliers — static / piecewise_static /
+    exponential / polynomial(power, min_lr) / cosine / linear-warmup-
+    polynomial, with restart machinery (ccdm/ddpm/optimizer.py:9-61,
+    lr_functions.py:5-139);
+  * LDM: warmup-cosine / warmup-linear LambdaLR schedules
+    (ldm/lr_scheduler.py:4-98) and the accum*ngpu*bs*base_lr scaling rule
+    (main.py:772-776), which callers apply to `learning_rate` directly.
+
+All schedules are pure step->multiplier functions (jit-traceable) applied
+via optax.scale_by_schedule composition.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import optax
+
+__all__ = ["build_lr_schedule", "build_optimizer"]
+
+
+def build_lr_schedule(
+    lr_function: Optional[str],
+    base_lr: float,
+    total_steps: int,
+    lr_params: Optional[dict] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Returns schedule(step) -> absolute lr."""
+    p = dict(lr_params or {})
+
+    if lr_function is None or lr_function == "static":
+        return lambda step: jnp.asarray(base_lr)
+
+    if lr_function == "exponential":
+        gamma = p.get("gamma", 0.98)
+        return lambda step: base_lr * gamma ** step.astype(jnp.float32)
+
+    if lr_function == "polynomial":
+        power = p.get("power", 1.0)
+        min_lr = p.get("min_lr", 0.0)
+
+        def sched(step):
+            s = jnp.minimum(step.astype(jnp.float32), total_steps - 1)
+            coeff = (1.0 - s / (total_steps - 1)) ** power
+            return (base_lr - min_lr) * coeff + min_lr
+
+        return sched
+
+    if lr_function == "cosine":
+        def sched(step):
+            s = jnp.minimum(step.astype(jnp.float32), total_steps)
+            return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * s / total_steps))
+
+        return sched
+
+    if lr_function == "linear-warmup-polynomial":
+        warmup_iters = p["warmup_iters"]
+        warmup_rate = p["warmup_rate"]
+        power = p.get("power", 1.0)
+        min_lr = p.get("min_lr", 0.0)
+
+        def sched(step):
+            s = step.astype(jnp.float32)
+            warm = base_lr * (1.0 - (1.0 - (s + 1.0) / warmup_iters) * (1.0 - warmup_rate))
+            sc = jnp.minimum(s, total_steps - 1)
+            poly = (base_lr - min_lr) * (1.0 - sc / (total_steps - 1)) ** power + min_lr
+            return jnp.where(s <= warmup_iters - 1, warm, poly)
+
+        return sched
+
+    if lr_function == "warmup-cosine":  # LDM LambdaWarmUpCosineScheduler (lr_scheduler.py:4-36)
+        warm_up_steps = p.get("warm_up_steps", 0)
+        lr_min = p.get("lr_min", 0.0)
+        lr_max = p.get("lr_max", base_lr)
+        lr_start = p.get("lr_start", 0.0)
+
+        def sched(step):
+            s = step.astype(jnp.float32)
+            warm = lr_start + s / max(warm_up_steps, 1) * (lr_max - lr_start)
+            t = jnp.minimum((s - warm_up_steps) / max(total_steps - warm_up_steps, 1), 1.0)
+            cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(t * jnp.pi))
+            return jnp.where(s < warm_up_steps, warm, cos)
+
+        return sched
+
+    raise ValueError(f"unknown lr_function {lr_function!r}")
+
+
+def build_optimizer(
+    name: str = "AdamW",
+    learning_rate: float = 1e-3,
+    lr_function: Optional[str] = None,
+    lr_params: Optional[dict] = None,
+    total_steps: int = 1,
+    weight_decay: Optional[float] = None,
+    betas: Sequence[float] = (0.9, 0.999),
+    momentum: float = 0.9,
+    grad_clip: Optional[float] = None,
+    accumulate_steps: int = 1,
+) -> optax.GradientTransformation:
+    """optax mirror of ccdm build_optimizer defaults (optimizer.py:27-39):
+    SGD wd=5e-4 momentum=.9; Adam plain; AdamW wd=0.01."""
+    sched = build_lr_schedule(lr_function, learning_rate, total_steps, lr_params)
+    if name == "SGD":
+        wd = 0.0005 if weight_decay is None else weight_decay
+        tx = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.sgd(learning_rate=sched, momentum=momentum),
+        )
+    elif name == "Adam":
+        tx = optax.adam(learning_rate=sched, b1=betas[0], b2=betas[1])
+    elif name == "AdamW":
+        wd = 0.01 if weight_decay is None else weight_decay
+        tx = optax.adamw(learning_rate=sched, b1=betas[0], b2=betas[1], weight_decay=wd)
+    else:
+        raise ValueError(f"optimizer {name!r} not recognized")
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accumulate_steps > 1:
+        # gradient accumulation (LDM accumulate_grad_batches, main.py:766-776)
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx

@@ -1,0 +1,92 @@
+"""Jittable train steps for both stages.
+
+Each factory closes over the model and returns a pure
+`step(state, batch, key) -> (state, metrics)` suitable for `jax.jit` (or
+pjit over a mesh — gradients sync via the sharding of `batch`, there is
+no DDP wrapper; SURVEY.md §2.3).
+
+Non-finite-loss guarding mirrors the reference's invariant check
+(trainer.py:388-407) the XLA way: `optax.apply_if_finite`-style masking
+is replaced by a metrics flag the host can act on, because branching on
+loss values inside jit would force a sync.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.mask_sampler import MaskSampler
+from ..models.slice_ldm import SliceLDM
+from .losses import categorical_diffusion_loss, gaussian_diffusion_loss, sample_train_timesteps
+from .state import EMATrainState
+
+__all__ = ["make_mask_train_step", "make_ldm_train_step"]
+
+
+def make_mask_train_step(
+    model: MaskSampler,
+    class_weights: Optional[jnp.ndarray] = None,
+) -> Callable:
+    """Stage-1 step (trainer.py:271-339): t ~ t^1.5, x_t ~ q(x_t|x0),
+    UNet x0-probs, KL+CE loss, EMA update."""
+
+    diff = model.diffusion
+
+    def loss_fn(params, key, x0, cond, context):
+        b = x0.shape[0]
+        kt, kx = jax.random.split(key)
+        t = sample_train_timesteps(kt, b, diff.time_steps)
+        xt = diff.sample_q_xt_given_x0(kx, x0, t)
+        x0pred = model.unet.apply(params, xt, t.astype(jnp.float32), cond=cond, context=context)
+        post_true = diff.theta_post(xt, x0, t)
+        post_pred = diff.theta_post_prob(xt, x0pred, t)
+        return categorical_diffusion_loss(post_true, post_pred, x0, x0pred, class_weights)
+
+    def step(state: EMATrainState, batch: dict, key: jax.Array):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch["mask"], batch.get("image"), batch.get("context")
+        )
+        state = state.apply_gradients(grads)
+        metrics["grad_finite"] = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
+        return state, metrics
+
+    return step
+
+
+def make_ldm_train_step(
+    model: SliceLDM,
+    loss_type: str = "l2",
+    l_simple_weight: float = 1.0,
+    elbo_weight: float = 0.0,
+) -> Callable:
+    """Stage-2 step (ddpm.py:1025-1056 via shared_step): t ~ U[0,T),
+    eps-MSE with lvlb bookkeeping, LitEma-style warmup EMA in the state."""
+
+    diff = model.diffusion
+
+    def loss_fn(params, key, x0, cond, context):
+        b = x0.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (b,), 0, diff.num_timesteps)
+        noise = jax.random.normal(kn, x0.shape, x0.dtype)
+        x_noisy = diff.q_sample(x0, t, noise)
+        model_out = model.apply_model(params, x_noisy, t, cond=cond, context=context)
+        target = noise if diff.parameterization == "eps" else x0
+        return gaussian_diffusion_loss(
+            model_out, target, t, diff.lvlb_weights, loss_type,
+            l_simple_weight=l_simple_weight, elbo_weight=elbo_weight,
+        )
+
+    def step(state: EMATrainState, batch: dict, key: jax.Array):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch["image"], batch.get("cond"), batch.get("context")
+        )
+        state = state.apply_gradients(grads)
+        return state, metrics
+
+    return step

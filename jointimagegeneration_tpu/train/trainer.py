@@ -1,0 +1,116 @@
+"""Unified training engine for both stages.
+
+Replaces the reference's two divergent engines — ignite Engine assembly
+(ccdm/ddpm/trainer.py:466-694, run_train :697-882) and the Lightning
+Trainer (latentdiffusion/main.py:497-828) — with one functional loop:
+
+  build datasets -> build model/optimizer/EMATrainState -> [restore] ->
+  for step: next batch -> jitted train step (pjit over mesh) ->
+  metrics/throughput logging -> periodic checkpoint (rolling + best) ->
+  periodic validation (Dice for stage 1 / val loss for stage 2) +
+  qualitative image grids.
+
+Failure handling mirrors the reference's semantics the JAX way: the
+train step reports `grad_finite`; on a non-finite loss the engine dumps a
+debug checkpoint and raises (trainer.py:388-407's nan/inf guard);
+KeyboardInterrupt checkpoints before exiting (main.py:297-301 melk()).
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager
+from ..core.logging import MetricLogger, Throughput, hbm_stats
+from ..parallel.mesh import is_chief
+from .state import EMATrainState
+
+__all__ = ["Trainer", "TrainerConfig"]
+
+
+@dataclass
+class TrainerConfig:
+    logdir: str = "runs/exp"
+    max_steps: int = 10_000
+    log_every: int = 50
+    save_every: int = 1000  # ccdm save_freq (params.yml:62)
+    eval_every: int = 1000
+    keep_checkpoints: int = 3  # ignite n_saved=3
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainerConfig,
+        state: EMATrainState,
+        train_step: Callable,  # (state, batch, key) -> (state, metrics)
+        train_loader,
+        eval_fn: Optional[Callable] = None,  # (state, step, logger) -> score
+        resume: bool = False,
+    ):
+        self.cfg = config
+        self.state = state
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.train_loader = train_loader
+        self.eval_fn = eval_fn
+        self.logger = MetricLogger(config.logdir) if is_chief() else None
+        self.ckpt = CheckpointManager(Path(config.logdir) / "checkpoints", config.keep_checkpoints)
+        if resume and self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            print(f"resumed from step {int(self.state.step)}")
+
+    def _log(self, step: int, metrics: dict, prefix: str = "train/"):
+        if self.logger:
+            self.logger.scalars(step, metrics, prefix)
+
+    def fit(self):
+        cfg = self.cfg
+        key = jax.random.key(cfg.seed)
+        tput = Throughput()
+        step = int(self.state.step)
+        try:
+            while step < cfg.max_steps:
+                for batch in self.train_loader:
+                    if step >= cfg.max_steps:
+                        break
+                    key, sub = jax.random.split(key)
+                    arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+                    self.state, metrics = self.train_step(self.state, arrays, sub)
+                    step += 1
+                    bsz = next(iter(arrays.values())).shape[0]
+                    tput.update(bsz)
+
+                    if step % cfg.log_every == 0:
+                        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                        if not np.isfinite(metrics.get("loss", 0.0)):
+                            # debug-state dump before raising (trainer.py:388-407)
+                            self.ckpt.save(step, jax.device_get(self.state))
+                            raise FloatingPointError(f"non-finite loss at step {step}: {metrics}")
+                        metrics["imgs_per_sec"] = tput.rate()
+                        metrics.update(hbm_stats())
+                        self._log(step, metrics)
+                        tput.reset()
+
+                    if step % cfg.save_every == 0:
+                        self.ckpt.save(step, jax.device_get(self.state))
+
+                    if self.eval_fn is not None and step % cfg.eval_every == 0:
+                        score = self.eval_fn(self.state, step, self.logger)
+                        if score is not None:
+                            self.ckpt.save(step, jax.device_get(self.state), score=float(score))
+        except KeyboardInterrupt:
+            print("interrupted — saving checkpoint")
+            self.ckpt.save(step, jax.device_get(self.state))
+            raise
+        finally:
+            self.ckpt.wait()
+        return self.state

@@ -1,0 +1,22 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+pjit/sharding paths run without TPU hardware (SURVEY.md §4c).
+
+This container presets JAX_PLATFORMS=axon and a sitecustomize that
+registers the axon (tunneled TPU) PJRT plugin at interpreter boot; host
+transfers through the tunnel cost ~25s each, which would make the test
+suite unusable.  `jax.config.update` after import reliably re-selects the
+CPU backend (backends initialise lazily, at first use — which is later
+than conftest import)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
