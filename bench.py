@@ -1,13 +1,21 @@
 """Benchmark: stage-1 categorical UNet denoise steps/sec/chip.
 
 The primary BASELINE metric (BASELINE.md): denoise steps per second per
-chip on the stage-1 workload — 12-class one-hot volume, reference UNet
-(base 64, mult [1,2,2,4,5], attn at ds {32,16,8}, head_ch 32), one full
-denoise step = UNet forward + closed-form categorical posterior +
-categorical draw.  The reference publishes no numbers (it never recorded
-its runtime counters), so vs_baseline is reported as null.
+chip on the stage-1 workload — 12-class one-hot 64x128x128 volume,
+reference UNet (base 64, mult [1,2,2,4,5], attn at ds {32,16,8},
+head_ch 32).  One denoise step = UNet forward + closed-form categorical
+posterior + categorical draw.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measured the production way: the K-step reverse chain is ONE
+`lax.scan`-compiled program (exactly how `MaskSampler.sample` runs), so
+per-step Python dispatch — which dominates on this host — is excluded, as
+it is in real sampling.  Timing is synced by fetching a scalar reduction
+of the result (on this box `block_until_ready` alone does not await the
+tunneled device, and the first device->host fetch pays a one-time ~100 s
+relay setup which is excluded by a warmup fetch).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.  The
+reference publishes no numbers (BASELINE.md), so vs_baseline is null.
 """
 
 import json
@@ -15,6 +23,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -22,6 +31,7 @@ def main():
 
     spatial = (64, 128, 128)  # reference stage-1 volume (ccdm/datasets/ruijin.py:176-178)
     num_classes = 12
+    chain_steps = 25
     model = MaskSampler.create(
         num_classes=num_classes,
         time_steps=1000,
@@ -33,31 +43,24 @@ def main():
         dtype=jnp.bfloat16,
     )
     params = model.init_params(jax.random.key(0), spatial, cond_channels=1)
+    cond = jnp.zeros((1, *spatial, 1), jnp.bfloat16)
 
     @jax.jit
-    def step(params, xt, t, cond, key):
-        return model.denoise_step(params, key, xt, t, cond=cond)
+    def run_chain(params, key):
+        x = model.sample(params, key, (1, *spatial), cond=cond, num_steps=chain_steps)
+        return jnp.sum(x[..., 0])  # scalar; forces the whole chain
 
-    xt = jax.nn.one_hot(
-        jax.random.randint(jax.random.key(1), (1, *spatial), 0, num_classes), num_classes, dtype=jnp.bfloat16
-    )
-    t = jnp.full((1,), 500, jnp.int32)
-    cond = jnp.zeros((1, *spatial, 1), jnp.bfloat16)
-    key = jax.random.key(2)
+    # warm: compile + first d2h (pays the one-time relay setup)
+    _ = float(run_chain(params, jax.random.key(1)))
 
-    # warmup / compile
-    out = step(params, xt, t, cond, key)
-    jax.block_until_ready(out)
-
-    n_iters = 20
+    n_iters = 3
     t0 = time.perf_counter()
-    x = xt
+    acc = 0.0
     for i in range(n_iters):
-        x = step(params, x, t, cond, jax.random.fold_in(key, i))
-    jax.block_until_ready(x)
+        acc += float(run_chain(params, jax.random.key(2 + i)))  # fetch => full sync
     dt = time.perf_counter() - t0
 
-    steps_per_sec = n_iters / dt
+    steps_per_sec = chain_steps * n_iters / dt
     print(
         json.dumps(
             {

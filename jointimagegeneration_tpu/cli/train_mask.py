@@ -62,6 +62,8 @@ def main(argv=None):
     step_fn = make_mask_train_step(model, class_weights)
 
     def eval_fn(state, step, logger):
+        from ..eval.writers import labels_to_grid
+
         ds = build_mask_dataset(cfg, "val")
         n_eval = min(len(ds), cfg.get("n_validation_images", 2))
         dices = []
@@ -74,6 +76,10 @@ def main(argv=None):
                 num_steps=cfg.get("eval_time_steps", 50),
             )
             dices.append(np.asarray(per_class_dice(labels[0], jnp.asarray(gt), num_classes))[1:].mean())
+            if logger and i == 0:
+                # qualitative grid (ImageLogger / save_qualitative_results parity)
+                logger.image(step, "val/pred", labels_to_grid(np.asarray(labels[0])))
+                logger.image(step, "val/gt", labels_to_grid(gt))
         score = float(np.mean(dices))
         if logger:
             logger.scalars(step, {"dice": score}, prefix="val/")

@@ -101,14 +101,18 @@ class MaskSampler:
 
     # -- one denoise step (the benchmarked unit) ------------------------------
 
-    def denoise_step(self, params, key, xt, t, cond=None, context=None):
+    def denoise_step(self, params, key, xt, t, cond=None, context=None, guidance_fn=None):
         """UNet x0-probs -> categorical posterior -> next x_{t-1} one-hot.
 
         `t` is a (B,)-int array in [1, T].  At t==1 the decode rule applies
         ('majority' argmax / 'confidence' sample), matching
-        diffusion_denoising.py:218-224."""
+        diffusion_denoising.py:218-224.  `guidance_fn(probs) -> gradients`
+        implements the reference's label-reference gradient guidance
+        (probs <- probs - gradients, diffusion_denoising.py:211-214)."""
         x0pred = self.unet.apply(params, xt, t.astype(jnp.float32), cond=cond, context=context)
         probs = self.diffusion.theta_post_prob(xt, x0pred, t)
+        if guidance_fn is not None:
+            probs = probs - guidance_fn(probs)
         probs = jnp.maximum(probs, 1e-12)
         sampled = sample_one_hot(key, probs)
         if self.step_T_sample == "confidence":
@@ -129,6 +133,7 @@ class MaskSampler:
         context: Optional[jnp.ndarray] = None,
         num_steps: Optional[int] = None,
         x_init: Optional[jnp.ndarray] = None,
+        guidance_fn=None,
     ) -> jnp.ndarray:
         """Sample a (B, D, H, W, C) one-hot mask volume.
 
@@ -145,7 +150,7 @@ class MaskSampler:
             xt, k = carry
             k, sub = jax.random.split(k)
             t_b = jnp.full((b,), t, jnp.int32)
-            xt = self.denoise_step(params, sub, xt, t_b, cond=cond, context=context)
+            xt = self.denoise_step(params, sub, xt, t_b, cond=cond, context=context, guidance_fn=guidance_fn)
             return (xt, k), None
 
         (x, _), _ = jax.lax.scan(body, (x_init, key), t_values)

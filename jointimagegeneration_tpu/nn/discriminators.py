@@ -28,6 +28,15 @@ class PatchDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_features: bool = False):
+        # k=4 convs with pad 1: input must survive n_layers stride-2 stages
+        # plus two stride-1 stages without collapsing to an empty map
+        min_size = 2 ** self.n_layers * 4
+        spatial = x.shape[1:-1]
+        if min(spatial) < min_size:
+            raise ValueError(
+                f"PatchDiscriminator(n_layers={self.n_layers}) needs spatial >= "
+                f"{min_size}, got {spatial}; reduce n_layers for small images"
+            )
         feats: List[jnp.ndarray] = []
         h = _conv(self.ndf, 4, self.dims, strides=2, padding=1, name="conv0")(x)
         h = nn.leaky_relu(h, 0.2)

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from .transformer import BasicTransformerBlock
 
-__all__ = ["TextFeatureRefiner", "FrozenBERTEmbedder", "IdentityEncoder"]
+__all__ = ["TextFeatureRefiner", "FrozenBERTEmbedder", "IdentityEncoder", "TransformerTextEncoder", "ClassEmbedder"]
 
 
 class TextFeatureRefiner(nn.Module):
@@ -45,6 +45,46 @@ class TextFeatureRefiner(nn.Module):
                 h, None, deterministic=deterministic
             )
         return h + feats
+
+
+class TransformerTextEncoder(nn.Module):
+    """Trainable token-level text encoder: embedding + learned positions +
+    N self-attention blocks -> (B, T, D) context.
+
+    Native equivalent of BERTEmbedder + the vendored x_transformer stack
+    (ldm/modules/encoders/modules.py TransformerEmbedder/BERTEmbedder,
+    ldm/modules/x_transformer.py)."""
+
+    vocab_size: int = 30522
+    embed_dim: int = 768
+    depth: int = 6
+    n_heads: int = 8
+    d_head: int = 64
+    max_len: int = 512
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        b, t = tokens.shape
+        tok = nn.Embed(self.vocab_size, self.embed_dim, name="tok_emb")(tokens)
+        pos = self.param("pos_emb", nn.initializers.normal(0.02), (self.max_len, self.embed_dim))
+        h = tok + pos[None, :t]
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.n_heads, self.d_head, self.dropout, name=f"block_{i}")(
+                h, None, deterministic=deterministic
+            )
+        return nn.LayerNorm(name="norm")(h)
+
+
+class ClassEmbedder(nn.Module):
+    """Class-id -> (B, 1, D) context (modules.py ClassEmbedder:22-35)."""
+
+    n_classes: int
+    embed_dim: int = 512
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        return nn.Embed(self.n_classes, self.embed_dim, name="embedding")(y)[:, None, :]
 
 
 class IdentityEncoder:
