@@ -22,9 +22,11 @@ __all__ = ["MetricLogger", "Throughput", "hbm_stats", "profile_trace"]
 
 
 class MetricLogger:
-    """Writes scalars to tensorboardX when available, always to JSONL."""
+    """Writes scalars to tensorboardX when available, always to JSONL;
+    optional W&B mirror (the reference's gated wandb option,
+    ccdm/ddpm/trainer.py:502-520, off by default)."""
 
-    def __init__(self, logdir):
+    def __init__(self, logdir, wandb_project: Optional[str] = None, wandb_mode: str = "offline"):
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.logdir / "metrics.jsonl", "a")
@@ -34,6 +36,14 @@ class MetricLogger:
             self._tb = SummaryWriter(str(self.logdir))
         except Exception:
             self._tb = None
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project, mode=wandb_mode, dir=str(self.logdir))
+            except Exception:
+                self._wandb = None
 
     def scalars(self, step: int, values: Dict[str, float], prefix: str = "") -> None:
         rec = {"step": int(step)}
@@ -45,6 +55,8 @@ class MetricLogger:
                 self._tb.add_scalar(name, v, step)
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
+        if self._wandb:
+            self._wandb.log({k: v for k, v in rec.items() if k != "step"}, step=step)
 
     def image(self, step: int, name: str, img: np.ndarray) -> None:
         """img: (H, W, 3) uint8."""

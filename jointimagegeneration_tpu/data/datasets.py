@@ -260,3 +260,89 @@ class SyntheticSliceDataset:
             item["wholeimage"] = img[..., None].astype(np.float32)
             item["wholemask"] = (labels.astype(np.float32) / max(self.num_classes - 1, 1))[..., None]
         return item
+
+
+class RuijinVolumeDataset:
+    """3D AE / volume dataset: windowed CT volume + one-hot mask volume +
+    text, at (64, 128, 128) (equivalent of ldm/data/ruijin_3d.py
+    AutoencoderDataset:129-186)."""
+
+    def __init__(self, index_path: str, split: str = "train",
+                 volume_shape: Tuple[int, int, int] = (64, 128, 128),
+                 num_classes: int = NUM_CLASSES, val_fraction: float = 0.05, seed: int = 0):
+        with open(index_path) as f:
+            self.index = json.load(f)
+        train_keys, val_keys = train_val_split(list(self.index), val_fraction, seed)
+        self.keys = train_keys if split == "train" else val_keys
+        self.base = Path(index_path).parent
+        self.volume_shape = volume_shape
+        self.num_classes = num_classes
+
+    def __len__(self):
+        return len(self.keys)
+
+    def _resolve(self, p):
+        return p if os.path.isabs(p) else str(self.base / p)
+
+    def __getitem__(self, i: int) -> dict:
+        case = self.index[self.keys[i]]
+        img, _ = read_nifti(self._resolve(case["image"]))
+        seg, _ = read_nifti(self._resolve(case["totalseg"]))
+        tumor = None
+        if case.get("crcseg"):
+            tumor, _ = read_nifti(self._resolve(case["crcseg"]))
+        labels = remap_totalseg_labels(np.asarray(seg), tumor)
+        img = window_norm(np.asarray(img))
+        img = resize_volume(img, self.volume_shape, "linear")
+        labels = resize_volume(labels, self.volume_shape, "nearest").astype(np.int32)
+        item = {
+            "image": img[..., None].astype(np.float32),
+            "mask": one_hot_np(labels, self.num_classes),
+            "casename": self.keys[i],
+        }
+        if case.get("text"):
+            item["text"] = case["text"]
+        return item
+
+
+class NNUNetLayoutDataset:
+    """nnUNet-style folder layout: imagesTr/<case>_0000.nii.gz +
+    labelsTr/<case>.nii.gz (equivalent of ldm/data/cmu.py:40-108)."""
+
+    def __init__(self, root: str, split: str = "train",
+                 slice_shape: Tuple[int, int] = (512, 512),
+                 num_classes: int = NUM_CLASSES, val_fraction: float = 0.05,
+                 include_volumes: bool = False, seed: int = 0):
+        root_p = Path(root)
+        cases = sorted(p.name.replace("_0000.nii.gz", "") for p in (root_p / "imagesTr").glob("*_0000.nii.gz"))
+        train_keys, val_keys = train_val_split(cases, val_fraction, seed)
+        self.keys = train_keys if split == "train" else val_keys
+        self.root = root_p
+        self.slice_shape = slice_shape
+        self.num_classes = num_classes
+        self.include_volumes = include_volumes or split != "train"
+        self.rng = np.random.default_rng(seed + 31)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, i: int) -> dict:
+        name = self.keys[i]
+        img, _ = read_nifti(self.root / "imagesTr" / f"{name}_0000.nii.gz")
+        labels, _ = read_nifti(self.root / "labelsTr" / f"{name}.nii.gz")
+        img = window_norm(np.asarray(img))
+        labels = np.asarray(labels).astype(np.int32)
+        img = crop_or_pad(img, (img.shape[0],) + self.slice_shape)
+        labels = crop_or_pad(labels, (labels.shape[0],) + self.slice_shape)
+        z = int(self.rng.integers(0, img.shape[0]))
+        prev = img[z - 1] if z > 0 else np.zeros_like(img[0])
+        mask_slice = labels[z].astype(np.float32) / max(self.num_classes - 1, 1)
+        item = {
+            "image": img[z][..., None].astype(np.float32),
+            "cond": np.stack([prev, mask_slice], axis=-1).astype(np.float32),
+            "casename": name,
+        }
+        if self.include_volumes:
+            item["wholeimage"] = img[..., None].astype(np.float32)
+            item["wholemask"] = (labels.astype(np.float32) / max(self.num_classes - 1, 1))[..., None]
+        return item

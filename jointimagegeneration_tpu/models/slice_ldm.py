@@ -103,23 +103,76 @@ class SliceLDM:
         context: Optional[jnp.ndarray] = None,
         x_T: Optional[jnp.ndarray] = None,
         temperature: float = 1.0,
-    ) -> jnp.ndarray:
+        guidance_scale: float = 1.0,
+        uncond_context: Optional[jnp.ndarray] = None,
+        guidance_fn=None,
+        inpaint_mask: Optional[jnp.ndarray] = None,  # 1 = keep x0, 0 = generate
+        inpaint_x0: Optional[jnp.ndarray] = None,
+        return_intermediates: bool = False,
+    ):
+        """DDIM chain for one slice, scan-compiled.
+
+        `guidance_scale` > 1 enables classifier-free guidance
+        (ddim.py:172-179): e = e_uncond + s*(e_cond - e_uncond), with the
+        unconditional branch batched alongside the conditional one rather
+        than the reference's concat-then-chunk (same math, half the
+        dispatches).  `guidance_fn(x, t) -> grad` adds classifier guidance
+        (models/classifier.py)."""
         b, h, w, _ = cond.shape
         if x_T is None:
             key, sub = jax.random.split(key)
             x_T = jax.random.normal(sub, (b, h, w, self.channels))
+        use_cfg = guidance_scale != 1.0
 
         def body(carry, index):
             x, k = carry
-            k, sub = jax.random.split(k)
+            k, sub, sub2 = jax.random.split(k, 3)
             t_b = jnp.full((b,), ddim.timesteps[index], jnp.int32)
+            if inpaint_mask is not None and inpaint_x0 is not None:
+                # re-noise the kept region to the current level (ddim.py:146-151)
+                noise = jax.random.normal(sub2, x.shape, x.dtype)
+                x_orig = self.diffusion.q_sample(inpaint_x0, t_b, noise)
+                x = x_orig * inpaint_mask + (1.0 - inpaint_mask) * x
             e_t = self.apply_model(params, x, t_b, cond=cond, context=context)
-            x, _ = ddim_step(ddim, sub, x, e_t.astype(x.dtype), index, temperature)
-            return (x, k), None
+            if use_cfg:
+                e_uncond = self.apply_model(
+                    params, x, t_b, cond=jnp.zeros_like(cond), context=uncond_context
+                )
+                e_t = e_uncond + guidance_scale * (e_t - e_uncond)
+            if guidance_fn is not None:
+                e_t = e_t - jnp.sqrt(1.0 - ddim.alphas[index]) * guidance_fn(x, t_b)
+            x, pred_x0 = ddim_step(ddim, sub, x, e_t.astype(x.dtype), index, temperature)
+            return (x, k), (pred_x0 if return_intermediates else None)
 
         indices = jnp.arange(ddim.num_steps - 1, -1, -1)
-        (x, _), _ = jax.lax.scan(body, (x_T, key), indices)
+        (x, _), inter = jax.lax.scan(body, (x_T, key), indices)
+        if return_intermediates:
+            return x, inter  # inter: (S, B, H, W, C) pred_x0 trajectory
         return x
+
+    def log_images(self, params, key: jax.Array, batch: dict, ddim: DDIMParams, n_row: int = 4) -> dict:
+        """Qualitative logging dict (LatentDiffusion.log_images,
+        ddpm.py:1263-1372 / ImageLogger main.py:419-449): inputs,
+        reconstruction-free samples, a denoise-progression row, and an
+        inpainting panel (left half kept)."""
+        import numpy as np
+
+        x = batch["image"][:n_row]
+        cond = batch.get("cond")
+        cond = cond[:n_row] if cond is not None else jnp.zeros(x.shape[:-1] + (self.cond_channels,))
+        k1, k2 = jax.random.split(key)
+        samples, inter = self.sample_slice(params, k1, cond, ddim, return_intermediates=True)
+        every = max(1, inter.shape[0] // 6)
+        denoise_row = inter[::every]  # (R, B, H, W, C)
+        mask = jnp.zeros_like(x).at[:, :, : x.shape[2] // 2].set(1.0)
+        inpaint = self.sample_slice(params, k2, cond, ddim, inpaint_mask=mask, inpaint_x0=x)
+        return {
+            "inputs": np.asarray(x),
+            "samples": np.asarray(samples),
+            "denoise_row": np.asarray(denoise_row),
+            "inpaint": np.asarray(inpaint),
+            "conditioning": np.asarray(cond),
+        }
 
     # -- autoregressive volume, both loops fused ------------------------------
 

@@ -63,7 +63,12 @@ class GroupNorm32(nn.Module):
         return y.astype(dtype)
 
 
-def _conv(features: int, kernel: int, dims: int, strides: int = 1, zero_init: bool = False, name=None, padding: Optional[int] = None):
+def _conv(features: int, kernel: int, dims: int, strides: int = 1, zero_init: bool = False, name=None,
+          padding: Optional[int] = None, dtype=None):
+    """Conv with fp32 params; `dtype` sets the COMPUTE dtype (params are
+    cast per-op).  Without an explicit dtype flax promotes bf16 activations
+    back to fp32 against the fp32 params — silently forfeiting the MXU's
+    bf16 rate — so compute-path callers must pass their activation dtype."""
     if padding is None:
         padding = kernel // 2
     return nn.Conv(
@@ -73,6 +78,7 @@ def _conv(features: int, kernel: int, dims: int, strides: int = 1, zero_init: bo
         padding=[(padding, padding)] * dims,
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
         param_dtype=jnp.float32,
+        dtype=dtype,
         name=name,
     )
 
@@ -95,7 +101,7 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = _nearest_up2(x, self.dims)
         if self.use_conv:
-            x = _conv(self.out_channels or x.shape[-1], 3, self.dims, name="conv")(x)
+            x = _conv(self.out_channels or x.shape[-1], 3, self.dims, name="conv", dtype=x.dtype)(x)
         return x
 
 
@@ -109,7 +115,7 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_conv:
-            return _conv(self.out_channels or x.shape[-1], 3, self.dims, strides=2, name="op")(x)
+            return _conv(self.out_channels or x.shape[-1], 3, self.dims, strides=2, name="op", dtype=x.dtype)(x)
         window = (2,) * self.dims
         return nn.avg_pool(x, window_shape=window, strides=window)
 
@@ -139,11 +145,12 @@ class ResBlock(nn.Module):
             window = (2,) * self.dims
             h = nn.avg_pool(h, window, window)
             x = nn.avg_pool(x, window, window)
-        h = _conv(self.out_channels, 3, self.dims, name="in_conv")(h)
+        h = _conv(self.out_channels, 3, self.dims, name="in_conv", dtype=h.dtype)(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             param_dtype=jnp.float32,
+            dtype=h.dtype,
             name="emb_proj",
         )(nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out.reshape(emb_out.shape[:1] + (1,) * self.dims + emb_out.shape[1:])
@@ -156,10 +163,10 @@ class ResBlock(nn.Module):
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _conv(self.out_channels, 3, self.dims, zero_init=True, name="out_conv")(h)
+        h = _conv(self.out_channels, 3, self.dims, zero_init=True, name="out_conv", dtype=h.dtype)(h)
 
         if in_ch != self.out_channels:
-            x = _conv(self.out_channels, 1, self.dims, name="skip")(x)
+            x = _conv(self.out_channels, 1, self.dims, name="skip", dtype=x.dtype)(x)
         return x + h
 
 
@@ -178,7 +185,7 @@ class AttentionBlock(nn.Module):
         heads = self.num_heads if self.num_head_channels == -1 else max(1, c // self.num_head_channels)
         seq = x.reshape(b, -1, c)
         h = GroupNorm32(name="norm")(seq)
-        qkv = nn.Dense(3 * c, param_dtype=jnp.float32, name="qkv")(h)
+        qkv = nn.Dense(3 * c, param_dtype=jnp.float32, dtype=x.dtype, name="qkv")(h)
         a = multi_head_self_attention(qkv, heads)
-        a = nn.Dense(c, kernel_init=nn.initializers.zeros, param_dtype=jnp.float32, name="proj_out")(a)
+        a = nn.Dense(c, kernel_init=nn.initializers.zeros, param_dtype=jnp.float32, dtype=x.dtype, name="proj_out")(a)
         return (seq + a).reshape(x.shape)

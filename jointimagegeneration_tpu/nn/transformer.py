@@ -30,7 +30,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.dim_out * 2, param_dtype=jnp.float32)(x)
+        h = nn.Dense(self.dim_out * 2, param_dtype=jnp.float32, dtype=x.dtype)(x)
         a, gate = jnp.split(h, 2, axis=-1)
         return a * nn.gelu(gate)
 
@@ -44,10 +44,10 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = GEGLU(inner)(x) if self.glu else nn.gelu(nn.Dense(inner, param_dtype=jnp.float32)(x))
+        h = GEGLU(inner)(x) if self.glu else nn.gelu(nn.Dense(inner, param_dtype=jnp.float32, dtype=x.dtype)(x))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(dim, param_dtype=jnp.float32)(h)
+        return nn.Dense(dim, param_dtype=jnp.float32, dtype=h.dtype)(h)
 
 
 class CrossAttention(nn.Module):
@@ -65,11 +65,11 @@ class CrossAttention(nn.Module):
         query_dim = x.shape[-1]
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, param_dtype=jnp.float32, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, param_dtype=jnp.float32, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, param_dtype=jnp.float32, name="to_v")(ctx)
+        q = nn.Dense(inner, use_bias=False, param_dtype=jnp.float32, dtype=x.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, param_dtype=jnp.float32, dtype=x.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, param_dtype=jnp.float32, dtype=x.dtype, name="to_v")(ctx)
         out = multi_head_cross_attention(q, k, v, self.heads)
-        out = nn.Dense(query_dim, param_dtype=jnp.float32, name="to_out")(out)
+        out = nn.Dense(query_dim, param_dtype=jnp.float32, dtype=x.dtype, name="to_out")(out)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out
@@ -89,14 +89,21 @@ class BasicTransformerBlock(nn.Module):
         self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None, *, deterministic: bool = True
     ) -> jnp.ndarray:
         sa_ctx = context if self.disable_self_attn else None
+
+        def ln(h, name):
+            # fp32 statistics, output cast back to the activation dtype so the
+            # attention/FF matmuls stay in bf16
+            y = nn.LayerNorm(param_dtype=jnp.float32, dtype=jnp.float32, name=name)(h.astype(jnp.float32))
+            return y.astype(h.dtype)
+
         x = x + CrossAttention(self.heads, self.dim_head, self.dropout, name="attn1")(
-            nn.LayerNorm(param_dtype=jnp.float32)(x), sa_ctx, deterministic=deterministic
+            ln(x, "norm1"), sa_ctx, deterministic=deterministic
         )
         x = x + CrossAttention(self.heads, self.dim_head, self.dropout, name="attn2")(
-            nn.LayerNorm(param_dtype=jnp.float32)(x), context, deterministic=deterministic
+            ln(x, "norm2"), context, deterministic=deterministic
         )
         x = x + FeedForward(dropout=self.dropout, name="ff")(
-            nn.LayerNorm(param_dtype=jnp.float32)(x), deterministic=deterministic
+            ln(x, "norm3"), deterministic=deterministic
         )
         return x
 
@@ -119,10 +126,10 @@ class SequenceTransformer(nn.Module):
     ) -> jnp.ndarray:
         b, *spatial, c = x.shape
         h = GroupNorm32(name="norm")(x).reshape(b, -1, c)
-        h = nn.Dense(self.heads * self.dim_head, param_dtype=jnp.float32, name="proj_in")(h)
+        h = nn.Dense(self.heads * self.dim_head, param_dtype=jnp.float32, dtype=x.dtype, name="proj_in")(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, self.dropout, self.disable_self_attn, name=f"block_{i}"
             )(h, context, deterministic=deterministic)
-        h = nn.Dense(c, kernel_init=nn.initializers.zeros, param_dtype=jnp.float32, name="proj_out")(h)
+        h = nn.Dense(c, kernel_init=nn.initializers.zeros, param_dtype=jnp.float32, dtype=x.dtype, name="proj_out")(h)
         return x + h.reshape(x.shape)

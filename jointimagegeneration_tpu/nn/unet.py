@@ -106,7 +106,7 @@ class UNet(nn.Module):
         Res = nn.remat(ResBlock, static_argnums=(3,)) if self.remat else ResBlock
 
         # --- encoder ------------------------------------------------------
-        h = _conv(mc * self.channel_mult[0], 3, self.dims, name="in_conv")(h)
+        h = _conv(mc * self.channel_mult[0], 3, self.dims, name="in_conv", dtype=self.dtype)(h)
         hs = [h]
         ds = 1
         for level, mult in enumerate(self.channel_mult):

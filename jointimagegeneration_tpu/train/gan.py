@@ -28,7 +28,13 @@ from flax import struct
 from ..models.autoencoder import AutoencoderKL
 from ..nn.discriminators import PatchDiscriminator
 
-__all__ = ["GANTrainState", "make_autoencoder_train_step", "hinge_d_loss", "vanilla_d_loss"]
+__all__ = [
+    "GANTrainState",
+    "make_autoencoder_train_step",
+    "make_vq_train_step",
+    "hinge_d_loss",
+    "vanilla_d_loss",
+]
 
 
 def hinge_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:
@@ -143,5 +149,66 @@ def make_autoencoder_train_step(
             step=state.step + 1, g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt
         )
         return new_state, metrics
+
+    return step
+
+
+def make_vq_train_step(
+    model,  # models.autoencoder.VQModel
+    discriminator: PatchDiscriminator,
+    codebook_weight: float = 1.0,
+    disc_weight: float = 0.5,
+    disc_start: int = 50001,
+    pixel_loss: str = "l1",
+    perceptual_fn: Optional[Callable] = None,
+    perceptual_weight: float = 1.0,
+    disc_loss: str = "hinge",
+) -> Callable:
+    """VQGAN dual-optimizer step (the missing-in-reference
+    VQLPIPSWithDiscriminator, ldm/modules/losses/vqperceptual.py):
+    rec + codebook commit/embed loss + adversarial, with the same
+    adaptive last-layer d_weight as the KL path."""
+    d_loss_fn = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
+
+    def rec_terms(g_params, x):
+        rec, qloss, _ = model.apply(g_params, x)
+        err = jnp.abs(x - rec) if pixel_loss == "l1" else (x - rec) ** 2
+        if perceptual_fn is not None:
+            err = err + perceptual_weight * perceptual_fn(x, rec)
+        nll = jnp.sum(err) / x.shape[0]
+        return rec, nll, qloss
+
+    def step(state: GANTrainState, batch: dict, key: jax.Array):
+        x = batch["image"]
+        disc_factor = jnp.where(state.step >= disc_start, 1.0, 0.0)
+
+        def g_loss_fn(g_params):
+            rec, nll, qloss = rec_terms(g_params, x)
+            g_adv = -jnp.mean(discriminator.apply(state.d_params, rec))
+            nll_n = _last_layer_grad_norm(lambda p: rec_terms(p, x)[1], g_params)
+            adv_n = _last_layer_grad_norm(
+                lambda p: -jnp.mean(discriminator.apply(state.d_params, model.apply(p, x)[0])), g_params
+            )
+            d_w = jax.lax.stop_gradient(jnp.clip(nll_n / (adv_n + 1e-4), 0.0, 1e4) * disc_weight)
+            loss = nll + codebook_weight * qloss + d_w * disc_factor * g_adv
+            return loss, {"nll": nll, "qloss": qloss, "g_adv": g_adv, "d_weight": d_w, "rec": rec}
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = state.g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        rec = jax.lax.stop_gradient(aux.pop("rec"))
+
+        def d_loss_closure(d_params):
+            return disc_factor * d_loss_fn(
+                discriminator.apply(d_params, x), discriminator.apply(d_params, rec)
+            )
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_closure)(state.d_params)
+        d_updates, d_opt = state.d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = {"loss": g_loss, "d_loss": d_loss, **aux}
+        return state.replace(step=state.step + 1, g_params=g_params, d_params=d_params,
+                             g_opt=g_opt, d_opt=d_opt), metrics
 
     return step

@@ -67,6 +67,20 @@ class Trainer:
         if resume and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             print(f"resumed from step {int(self.state.step)}")
+        if is_chief():
+            # code self-archival for reproducibility (ccdm/ddpm/utils.py:41-44)
+            try:
+                from ..utils.misc import archive_code
+
+                archive_code(config.logdir)
+            except Exception:
+                pass
+        # SIGUSR1 -> checkpoint now (latentdiffusion/main.py:784-795 melk)
+        self._usr1 = False
+        try:
+            signal.signal(signal.SIGUSR1, lambda *_: setattr(self, "_usr1", True))
+        except (ValueError, OSError):
+            pass  # not in main thread
 
     def _log(self, step: int, metrics: dict, prefix: str = "train/"):
         if self.logger:
@@ -100,8 +114,9 @@ class Trainer:
                         self._log(step, metrics)
                         tput.reset()
 
-                    if step % cfg.save_every == 0:
+                    if step % cfg.save_every == 0 or self._usr1:
                         self.ckpt.save(step, jax.device_get(self.state))
+                        self._usr1 = False
 
                     if self.eval_fn is not None and step % cfg.eval_every == 0:
                         score = self.eval_fn(self.state, step, self.logger)

@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+from jointimagegeneration_tpu.models import SliceLDM
+from jointimagegeneration_tpu.models.autoencoder import AutoencoderKL
+from jointimagegeneration_tpu.models.latent_ldm import LatentSliceLDM
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ae = AutoencoderKL(embed_dim=2, ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(), z_channels=2, dims=2, resolution=16)
+    model = LatentSliceLDM.create(
+        first_stage=ae,
+        image_channels=2, cond_channels=2,  # latent z has 2 channels
+        timesteps=50, model_channels=8, channel_mult=(1, 2),
+        attention_resolutions=(), num_res_blocks=1, num_head_channels=4,
+    )
+    x = jnp.zeros((1, 16, 16, 1))
+    ae_params = ae.init(jax.random.key(0), x, jax.random.key(1))
+    ldm_params = model.inner.init_params(jax.random.key(2), 8)  # latent is 8x8
+    return model, ae_params, ldm_params
+
+
+def test_encode_decode_roundtrip_shapes(setup):
+    model, ae_params, _ = setup
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 1))
+    z = model.encode(ae_params, x)
+    assert z.shape == (2, 8, 8, 2)
+    rec = model.decode(ae_params, z)
+    assert rec.shape == x.shape
+
+
+def test_scale_factor_calibration(setup):
+    model, ae_params, _ = setup
+    x = jax.random.normal(jax.random.key(4), (4, 16, 16, 1))
+    cal = model.calibrate_scale_factor(ae_params, x)
+    z = cal.encode(ae_params, x)
+    # calibrated: unit std (ddpm.py scale_by_std)
+    assert float(jnp.std(z)) == pytest.approx(1.0, rel=0.05)
+
+
+def test_latent_sampling_decodes_to_pixel_space(setup):
+    model, ae_params, ldm_params = setup
+    ddim = DDIMParams.create(model.diffusion, 5)
+    cond = jnp.zeros((1, 16, 16, 1))
+    out = model.sample_slice(ldm_params, ae_params, jax.random.key(5), cond, ddim)
+    assert out.shape == (1, 16, 16, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_slice_intermediates_and_inpaint():
+    ldm = SliceLDM.create(timesteps=50, model_channels=8, channel_mult=(1, 2),
+                          attention_resolutions=(), num_res_blocks=1, num_head_channels=4)
+    params = ldm.init_params(jax.random.key(0), 16)
+    ddim = DDIMParams.create(ldm.diffusion, 5)
+    cond = jnp.zeros((1, 16, 16, 2))
+    x, inter = ldm.sample_slice(params, jax.random.key(1), cond, ddim, return_intermediates=True)
+    assert inter.shape == (5, 1, 16, 16, 1)
+    x0 = jnp.ones((1, 16, 16, 1)) * 0.5
+    mask = jnp.zeros_like(x0).at[:, :, :8].set(1.0)
+    out = ldm.sample_slice(params, jax.random.key(2), cond, ddim, inpaint_mask=mask, inpaint_x0=x0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_log_images_keys():
+    ldm = SliceLDM.create(timesteps=50, model_channels=8, channel_mult=(1, 2),
+                          attention_resolutions=(), num_res_blocks=1, num_head_channels=4)
+    params = ldm.init_params(jax.random.key(0), 16)
+    ddim = DDIMParams.create(ldm.diffusion, 5)
+    batch = {"image": jnp.zeros((2, 16, 16, 1)), "cond": jnp.zeros((2, 16, 16, 2))}
+    logs = ldm.log_images(params, jax.random.key(1), batch, ddim, n_row=2)
+    assert {"inputs", "samples", "denoise_row", "inpaint", "conditioning"} <= set(logs)
+    assert logs["samples"].shape == (2, 16, 16, 1)
+
+
+def test_cfg_changes_output():
+    ldm = SliceLDM.create(timesteps=50, model_channels=8, channel_mult=(1, 2),
+                          attention_resolutions=(), num_res_blocks=1, num_head_channels=4)
+    params = ldm.init_params(jax.random.key(0), 16)
+    # randomize head so cond actually matters
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: jax.random.normal(jax.random.key(9), p.shape) * 0.05
+        if any(getattr(k, "key", None) == "out_conv" for k in path) else p,
+        params,
+    )
+    ddim = DDIMParams.create(ldm.diffusion, 5)
+    cond = jnp.ones((1, 16, 16, 2))
+    a = ldm.sample_slice(params, jax.random.key(1), cond, ddim, guidance_scale=1.0)
+    b = ldm.sample_slice(params, jax.random.key(1), cond, ddim, guidance_scale=3.0)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
