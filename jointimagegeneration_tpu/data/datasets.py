@@ -28,9 +28,38 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .classes import NUM_CLASSES, remap_totalseg_labels
-from .nifti import read_nifti
-from .transforms import crop_or_pad, one_hot_np, random_flip, resize_volume, window_norm
+from .classes import NUM_CLASSES, TOTALSEG_DESIGNATED_LABELS, remap_totalseg_labels
+from .native import native_available, one_hot_native, read_nifti_native, remap_labels_native, window_norm_native
+from .nifti import read_nifti as _read_nifti_py
+from .transforms import crop_or_pad, random_flip, resize_volume
+from .transforms import one_hot_np as _one_hot_py
+from .transforms import window_norm as _window_norm_py
+
+
+def read_nifti(path):
+    """NIfTI read through the C++ fast path when built (native/), else the
+    pure-Python codec."""
+    if native_available():
+        res = read_nifti_native(path)
+        if res is not None:
+            return res
+    return _read_nifti_py(path)
+
+
+def window_norm(image, window_pos=60.0, window_width=360.0):
+    if native_available() and isinstance(image, np.ndarray):
+        out = window_norm_native(np.array(image, np.float32), window_pos, window_width)
+        if out is not None:
+            return out
+    return _window_norm_py(image, window_pos, window_width)
+
+
+def one_hot_np(labels, num_classes, dtype=np.float32):
+    if native_available() and dtype == np.float32:
+        out = one_hot_native(labels, num_classes)
+        if out is not None:
+            return out
+    return _one_hot_py(labels, num_classes, dtype)
 
 __all__ = [
     "RuijinMaskDataset",

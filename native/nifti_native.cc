@@ -1,0 +1,208 @@
+// Native NIfTI-1 decode + fused host-side preprocessing.
+//
+// TPU-native counterpart of the reference's C++-backed data path (torch
+// DataLoader workers + nibabel/SimpleITK C extensions).  The training
+// host overlaps these with device compute (data/loader.py); on the weak
+// single-core hosts that front TPU slices, gzip inflate + voxel remap in
+// Python is the bottleneck, so the hot path lives here:
+//
+//   * jig_read_nifti     — .nii/.nii.gz -> float32 voxels (C-order),
+//                          with scl_slope/inter applied and Fortran->C
+//                          axis transpose fused into the copy
+//   * jig_window_norm    — CT HU windowing into [0,1], in place
+//   * jig_remap_labels   — TotalSegmentator id -> class id remap + tumor
+//                          override (ccdm/datasets/ruijin.py:31-38,176)
+//   * jig_one_hot        — label volume -> channels-last one-hot
+//
+// Exposed over a plain C ABI for ctypes (no pybind11 in this image).
+// Python fallback: jointimagegeneration_tpu/data/nifti.py.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include <zlib.h>
+
+struct JigNiftiInfo {
+  int32_t ndim;
+  int64_t shape[8];     // C-order (outermost first)
+  float spacing[8];
+  int32_t datatype;     // original NIfTI datatype code
+  int32_t error;        // 0 ok, else error code
+};
+
+// ---------------------------------------------------------------------------
+// IO helpers
+// ---------------------------------------------------------------------------
+
+static bool read_all_gz(const char* path, std::vector<uint8_t>& out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return false;
+  // large decode buffer: volumes are tens to hundreds of MB
+  const size_t chunk = 8u << 20;
+  size_t used = 0;
+  for (;;) {
+    out.resize(used + chunk);
+    int n = gzread(f, out.data() + used, (unsigned)chunk);
+    if (n < 0) { gzclose(f); return false; }
+    used += (size_t)n;
+    if ((size_t)n < chunk) break;
+  }
+  out.resize(used);
+  gzclose(f);
+  return true;
+}
+
+template <typename T>
+static void convert_to_f32(const uint8_t* src, float* dst, int64_t n, float slope, float inter) {
+  const T* s = reinterpret_cast<const T*>(src);
+  if (slope == 1.0f && inter == 0.0f) {
+    for (int64_t i = 0; i < n; ++i) dst[i] = (float)s[i];
+  } else {
+    for (int64_t i = 0; i < n; ++i) dst[i] = (float)s[i] * slope + inter;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// jig_read_nifti: parse header, inflate, convert to f32, transpose F->C.
+// Caller provides `out` sized to the voxel count (query first with
+// out == nullptr: fills info only).
+// ---------------------------------------------------------------------------
+
+extern "C" int32_t jig_read_nifti(const char* path, JigNiftiInfo* info, float* out) {
+  std::vector<uint8_t> buf;
+  if (!read_all_gz(path, buf)) { info->error = 1; return 1; }
+  if (buf.size() < 352) { info->error = 2; return 2; }
+  const uint8_t* h = buf.data();
+
+  int32_t sizeof_hdr;
+  memcpy(&sizeof_hdr, h, 4);
+  if (sizeof_hdr != 348) { info->error = 3; return 3; }  // big-endian unsupported here
+
+  int16_t dim[8];
+  memcpy(dim, h + 40, 16);
+  int ndim = dim[0];
+  if (ndim < 1 || ndim > 7) { info->error = 4; return 4; }
+
+  int16_t datatype;
+  memcpy(&datatype, h + 70, 2);
+  float pixdim[8];
+  memcpy(pixdim, h + 76, 32);
+  float vox_offset_f, scl_slope, scl_inter;
+  memcpy(&vox_offset_f, h + 108, 4);
+  memcpy(&scl_slope, h + 112, 4);
+  memcpy(&scl_inter, h + 116, 4);
+  if (scl_slope == 0.0f) scl_slope = 1.0f;
+  size_t vox_offset = (size_t)vox_offset_f;
+
+  int64_t n = 1;
+  // expose shape in the same axis order as the Python codec: (nx, ny, nz)
+  // with the returned buffer C-ordered so out[x, y, z] indexes correctly
+  for (int i = 0; i < ndim; ++i) {
+    info->shape[i] = dim[1 + i];
+    info->spacing[i] = pixdim[1 + i];
+    n *= dim[1 + i];
+  }
+  info->ndim = ndim;
+  info->datatype = datatype;
+  info->error = 0;
+  if (!out) return 0;  // header-only query
+
+  if (buf.size() < vox_offset) { info->error = 5; return 5; }
+  const uint8_t* data = h + vox_offset;
+
+  // convert to f32 in Fortran order first
+  std::vector<float> f(n);
+  switch (datatype) {
+    case 2:    convert_to_f32<uint8_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 4:    convert_to_f32<int16_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 8:    convert_to_f32<int32_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 16:   convert_to_f32<float>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 64:   convert_to_f32<double>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 256:  convert_to_f32<int8_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 512:  convert_to_f32<uint16_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 768:  convert_to_f32<uint32_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 1024: convert_to_f32<int64_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    default: info->error = 6; return 6;
+  }
+
+  // transpose Fortran (x fastest) -> C (x slowest): out[x,y,z] = f[x + y*nx + z*nx*ny]
+  if (ndim == 3) {
+    const int64_t nx = dim[1], ny = dim[2], nz = dim[3];
+    for (int64_t x = 0; x < nx; ++x)
+      for (int64_t y = 0; y < ny; ++y) {
+        const float* src = f.data() + x + y * nx;
+        float* dst = out + (x * ny + y) * nz;
+        for (int64_t z = 0; z < nz; ++z) dst[z] = src[z * nx * ny];
+      }
+  } else if (ndim == 2) {
+    const int64_t nx = dim[1], ny = dim[2];
+    for (int64_t x = 0; x < nx; ++x)
+      for (int64_t y = 0; y < ny; ++y) out[x * ny + y] = f[x + y * nx];
+  } else {
+    // generic layout change: Fortran buffer (axis 0 fastest) -> C buffer
+    // (axis 0 slowest) of the SAME axis order (d0, d1, ..., d_{nd-1})
+    int64_t fshape[8], fstride[8];
+    for (int i = 0; i < ndim; ++i) fshape[i] = dim[1 + i];
+    fstride[0] = 1;
+    for (int i = 1; i < ndim; ++i) fstride[i] = fstride[i - 1] * fshape[i - 1];
+    std::vector<int64_t> idx(ndim, 0);
+    for (int64_t c = 0; c < n; ++c) {
+      int64_t fo = 0;
+      for (int i = 0; i < ndim; ++i) fo += idx[i] * fstride[i];
+      out[c] = f[fo];
+      for (int i = ndim - 1; i >= 0; --i) {  // idx[ndim-1] is the C-fastest axis
+        if (++idx[i] < fshape[i]) break;
+        idx[i] = 0;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// fused preprocessing kernels
+// ---------------------------------------------------------------------------
+
+extern "C" void jig_window_norm(float* img, int64_t n, float window_pos, float window_width) {
+  const float lo = window_pos - window_width * 0.5f;
+  const float inv = 1.0f / window_width;
+  for (int64_t i = 0; i < n; ++i) {
+    float v = (img[i] - lo) * inv;
+    img[i] = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+  }
+}
+
+// labels: float-decoded seg volume; designated: table of source ids
+// mapped to 1..n_designated; tumor (optional, same length) overrides with
+// tumor_class.  Writes int32 class ids.
+extern "C" void jig_remap_labels(const float* seg, const float* tumor, int32_t* out, int64_t n,
+                      const int32_t* designated, int32_t n_designated, int32_t tumor_class) {
+  // build a small direct-lookup table (TotalSegmentator ids < 256)
+  int32_t lut[256];
+  memset(lut, 0, sizeof(lut));
+  for (int32_t i = 0; i < n_designated; ++i) {
+    int32_t id = designated[i];
+    if (id >= 0 && id < 256) lut[id] = i + 1;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = (int32_t)seg[i];
+    out[i] = (v >= 0 && v < 256) ? lut[v] : 0;
+  }
+  if (tumor) {
+    for (int64_t i = 0; i < n; ++i)
+      if (tumor[i] > 0.f) out[i] = tumor_class;
+  }
+}
+
+extern "C" void jig_one_hot(const int32_t* labels, float* out, int64_t n, int32_t num_classes) {
+  memset(out, 0, sizeof(float) * (size_t)n * num_classes);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t c = labels[i];
+    if (c < 0) c = 0;
+    if (c >= num_classes) c = num_classes - 1;
+    out[i * num_classes + c] = 1.0f;
+  }
+}
