@@ -70,6 +70,7 @@ class MaskSampler:
         dtype=jnp.float32,
         step_T_sample: str = "majority",
         remat: bool = False,
+        spatial_axis: Optional[str] = None,
         **schedule_params,
     ) -> "MaskSampler":
         """Mirror of ccdm's build_model (models/builder.py:14-53):
@@ -86,6 +87,7 @@ class MaskSampler:
             context_dim=context_dim,
             dtype=dtype,
             remat=remat,
+            spatial_axis=spatial_axis,
         )
         diffusion = CategoricalDiffusion.create(schedule, time_steps, num_classes, **schedule_params)
         return cls(unet=unet, diffusion=diffusion, num_classes=num_classes, step_T_sample=step_T_sample)

@@ -59,6 +59,10 @@ class UNet(nn.Module):
     # compute dtype for the torso (params always fp32):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # shard the leading spatial axis over this mesh axis (sequence/spatial
+    # parallelism over ICI; XLA inserts the conv halo exchanges) — the
+    # 'model' axis of parallel.make_mesh for big 512^2 / 128^3 activations:
+    spatial_axis: Optional[str] = None
 
     def _attn(self, ch: int, name: str):
         if self.num_head_channels == -1:
@@ -95,6 +99,15 @@ class UNet(nn.Module):
         h = x.astype(self.dtype)
         if context is not None:
             context = context.astype(self.dtype)
+
+        if self.spatial_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P("data", self.spatial_axis, *([None] * self.dims))
+            try:
+                h = jax.lax.with_sharding_constraint(h, spec)
+            except RuntimeError:
+                pass  # no mesh in context (e.g. init outside `with mesh:`)
 
         res_args = dict(
             dims=self.dims,

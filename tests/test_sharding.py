@@ -54,3 +54,48 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_batch_sampling_matches_unsharded():
+    """Milestone config #5: batched multi-volume sampling sharded over the
+    mesh must produce bit-identical volumes to the unsharded program."""
+    import jax.numpy as jnp
+    from jointimagegeneration_tpu.models import MaskSampler
+
+    ms = MaskSampler.create(
+        num_classes=4, time_steps=10, model_channels=8, channel_mult=(1, 2),
+        attention_resolutions=(), num_res_blocks=1, num_head_channels=4,
+    )
+    spatial = (2, 8, 8)
+    params = ms.init_params(jax.random.key(0), spatial, cond_channels=0)
+    sample = jax.jit(lambda p, k: ms.sample(p, k, (8, *spatial), num_steps=3))
+    ref = np.asarray(sample(params, jax.random.key(1)))
+
+    mesh = make_mesh()
+    with mesh:
+        p_sharded = jax.device_put(params, NamedSharding(mesh, P()))
+        out = np.asarray(sample(p_sharded, jax.random.key(1)))
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_spatial_sharding_unet_matches_unsharded():
+    """Spatial ('model'-axis) sharding of UNet activations: XLA's SPMD conv
+    partitioner must reproduce the unsharded result exactly."""
+    import jax.numpy as jnp
+    from jointimagegeneration_tpu.nn import UNet
+
+    kwargs = dict(model_channels=8, out_channels=2, num_res_blocks=1,
+                  attention_resolutions=(), channel_mult=(1, 2), dims=2, num_head_channels=4)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 2))
+    t = jnp.asarray([3.0, 5.0])
+    m_plain = UNet(**kwargs)
+    params = m_plain.init(jax.random.key(1), x, t)
+    ref = np.asarray(m_plain.apply(params, x, t))
+
+    m_sharded = UNet(**kwargs, spatial_axis="model")
+    mesh = make_mesh(data=2, model=4)
+    with mesh:
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        out = np.asarray(jax.jit(m_sharded.apply)(ps, xs, t))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
