@@ -108,3 +108,39 @@ class TransformedPairDataset:
 
             item["mask"] = one_hot_np(np.asarray(item.pop("label")), self.num_classes)
         return item
+
+
+class ImageFolderDataset:
+    """Images under a directory tree (LSUN/ImageNet-style stock datasets,
+    ldm/data/lsun.py, imagenet.py), returned as [0,1] float channels-last,
+    optionally center-cropped/resized and SR-degraded."""
+
+    def __init__(self, root: str, size: Optional[int] = None, sr_factor: Optional[int] = None,
+                 exts=(".png", ".jpg", ".jpeg", ".bmp"), seed: int = 0):
+        root_p = Path(root)
+        self.files = sorted(str(p) for p in root_p.rglob("*") if p.suffix.lower() in exts)
+        self.size = size
+        self.sr_factor = sr_factor
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> dict:
+        from PIL import Image
+
+        img = np.asarray(Image.open(self.files[i]).convert("RGB"), np.float32) / 255.0
+        if self.size:
+            h, w = img.shape[:2]
+            s = min(h, w)
+            img = img[(h - s) // 2 : (h + s) // 2, (w - s) // 2 : (w + s) // 2]
+            import jax
+
+            img = np.asarray(jax.image.resize(img, (self.size, self.size, 3), "linear"))
+        item = {"image": img, "path": self.files[i]}
+        if self.sr_factor:
+            from .degradation import degradation_pipeline
+
+            lr, hr = degradation_pipeline(img, self.rng, sf=self.sr_factor)
+            item["lr"] = lr
+        return item
