@@ -31,7 +31,9 @@ def main(argv=None):
     ap.add_argument("--bert", help="HF model path for precomputing text features")
     args = ap.parse_args(argv)
 
-    root = Path(args.root)
+    root = Path(args.root).resolve()
+    # datasets resolve relative paths against the index file's directory
+    out_dir = Path(args.out).resolve().parent
     texts = json.loads(Path(args.texts).read_text()) if args.texts else {}
     index = {}
     for case_dir in sorted(p for p in root.iterdir() if p.is_dir()):
@@ -39,7 +41,11 @@ def main(argv=None):
         for key, glob in [("image", args.image_glob), ("totalseg", args.seg_glob), ("crcseg", args.tumor_glob)]:
             hits = sorted(case_dir.glob(glob))
             if hits:
-                entry[key] = str(hits[0].relative_to(root))
+                p = hits[0].resolve()
+                try:
+                    entry[key] = str(p.relative_to(out_dir))
+                except ValueError:
+                    entry[key] = str(p)
         if "totalseg" not in entry:
             continue
         name = case_dir.name
@@ -59,7 +65,7 @@ def main(argv=None):
                 feats = bert(entry["text"])[0]
                 out = feat_dir / f"{name}.npz"
                 np.savez_compressed(out, features=feats)
-                entry["text_features"] = str(out.relative_to(root))
+                entry["text_features"] = str(out.resolve().relative_to(out_dir)) if out.resolve().is_relative_to(out_dir) else str(out.resolve())
 
     Path(args.out).write_text(json.dumps(index, indent=2))
     print(f"indexed {len(index)} cases -> {args.out}")
