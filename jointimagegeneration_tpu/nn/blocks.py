@@ -83,6 +83,36 @@ def _conv(features: int, kernel: int, dims: int, strides: int = 1, zero_init: bo
     )
 
 
+class PallasConv3d(nn.Module):
+    """3x3x3 conv through the Pallas kernel (ops/pallas/conv3d.py), with
+    the same param structure as nn.Conv ('kernel' DHWIO + 'bias') so
+    checkpoints interoperate with the XLA path."""
+
+    features: int
+    zero_init: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas.conv3d import conv3d_3x3
+
+        cin = x.shape[-1]
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param("kernel", init, (3, 3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        dt = self.dtype or x.dtype
+        y = conv3d_3x3(x.astype(dt), kernel.astype(dt), 8, False)
+        return y + bias.astype(y.dtype)
+
+
+def _conv3(features: int, dims: int, *, zero_init: bool = False, dtype=None, pallas: bool = False, name=None):
+    """3x3(x3) 'SAME' conv; Pallas kernel when requested (3D, inference-grade
+    and trainable via its custom VJP)."""
+    if pallas and dims == 3:
+        return PallasConv3d(features, zero_init=zero_init, dtype=dtype, name=name)
+    return _conv(features, 3, dims, zero_init=zero_init, dtype=dtype, name=name)
+
+
 def _nearest_up2(x: jnp.ndarray, dims: int) -> jnp.ndarray:
     """Nearest-neighbour 2x upsample of all spatial axes (B, *S, C)."""
     for ax in range(1, 1 + dims):
@@ -132,6 +162,7 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     up: bool = False
     down: bool = False
+    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -145,7 +176,7 @@ class ResBlock(nn.Module):
             window = (2,) * self.dims
             h = nn.avg_pool(h, window, window)
             x = nn.avg_pool(x, window, window)
-        h = _conv(self.out_channels, 3, self.dims, name="in_conv", dtype=h.dtype)(h)
+        h = _conv3(self.out_channels, self.dims, dtype=h.dtype, pallas=self.pallas_conv, name="in_conv")(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -163,7 +194,7 @@ class ResBlock(nn.Module):
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _conv(self.out_channels, 3, self.dims, zero_init=True, name="out_conv", dtype=h.dtype)(h)
+        h = _conv3(self.out_channels, self.dims, zero_init=True, dtype=h.dtype, pallas=self.pallas_conv, name="out_conv")(h)
 
         if in_ch != self.out_channels:
             x = _conv(self.out_channels, 1, self.dims, name="skip", dtype=x.dtype)(x)

@@ -63,6 +63,8 @@ class UNet(nn.Module):
     # parallelism over ICI; XLA inserts the conv halo exchanges) — the
     # 'model' axis of parallel.make_mesh for big 512^2 / 128^3 activations:
     spatial_axis: Optional[str] = None
+    # route 3^3 convs through the Pallas im2col kernel (ops/pallas/conv3d.py)
+    use_pallas_conv: bool = False
 
     def _attn(self, ch: int, name: str):
         if self.num_head_channels == -1:
@@ -113,6 +115,7 @@ class UNet(nn.Module):
             dims=self.dims,
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            pallas_conv=self.use_pallas_conv and self.dims == 3,
         )
         # rematerialise each ResBlock under grad (reference: per-block
         # CheckpointFunction, unet_openai/nn.py:124-170)
