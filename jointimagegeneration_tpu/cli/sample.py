@@ -92,9 +92,13 @@ def main(argv=None):
         elif stage == "ct":
             ds = build_slice_dataset(cfg.get("stage2", cfg), "val")
             item = ds[i % len(ds)]
-            mask = jnp.asarray(item["wholemask"])[None]
-            vol = ldm.sample_volume(ldm_params, sub, mask, ddim)
-            vol = np.asarray(vol[0, ..., 0])
+            if cfg.get("sampler", "ddim") == "plms" and "cond" in item:
+                s = ldm.sample_slice_plms(ldm_params, sub, jnp.asarray(item["cond"])[None], ddim)
+                vol = np.asarray(s[0, ..., 0])[None]
+            else:
+                mask = jnp.asarray(item["wholemask"])[None]
+                vol = ldm.sample_volume(ldm_params, sub, mask, ddim)
+                vol = np.asarray(vol[0, ..., 0])
             save_image_volume(case_dir / "image.nii.gz", vol)
             save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))
 

@@ -1,0 +1,144 @@
+"""Inference server: text/mask → CT generation over HTTP.
+
+Production-serving surface (the reference has none — generation is
+offline scripts only; this completes the deployment story).  stdlib
+http.server: models compile once at startup (scan-compiled samplers),
+requests run the jitted programs, responses stream NIfTI bytes or JSON
+summaries.  Single-threaded by design — one TPU program runs at a time;
+batching is the mesh's job, not the server's.
+
+    python -m jointimagegeneration_tpu.cli.serve <config.yml> [port]
+
+POST /generate {"kind": "mask"|"two_stage", "seed": int,
+                "mask_steps": int?, "ddim_steps": int?}
+  -> {"labels_nifti_b64"| "ct_nifti_b64", "class_counts", "elapsed_s"}
+GET /healthz -> {"status": "ok", "device": ...}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import sys
+import tempfile
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import load_yaml_config
+from ..diffusion.ddim import DDIMParams
+from ..pipeline import TwoStagePipeline
+from .common import build_mask_sampler, build_slice_ldm
+from .sample import _load_params
+
+
+def _nifti_b64(vol: np.ndarray) -> str:
+    from ..data.nifti import write_nifti
+
+    with tempfile.NamedTemporaryFile(suffix=".nii.gz") as f:
+        write_nifti(f.name, vol)
+        f.seek(0)
+        return base64.b64encode(Path(f.name).read_bytes()).decode()
+
+
+def make_handler(state: dict):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "device": str(jax.devices()[0])})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                kind = req.get("kind", "mask")
+                key = jax.random.key(int(req.get("seed", 0)))
+                t0 = time.perf_counter()
+                if kind == "mask":
+                    ms, msp, spatial = state["ms"], state["ms_params"], state["spatial"]
+                    labels = np.asarray(
+                        ms.sample_labels(
+                            msp, key, (1, *spatial),
+                            cond=jnp.zeros((1, *spatial, 1)),
+                            num_steps=int(req.get("mask_steps", state["mask_steps"])),
+                        )[0]
+                    )
+                    counts = {int(c): int(n) for c, n in zip(*np.unique(labels, return_counts=True))}
+                    self._json(200, {
+                        "labels_nifti_b64": _nifti_b64(labels.astype(np.uint8)),
+                        "class_counts": counts,
+                        "elapsed_s": round(time.perf_counter() - t0, 2),
+                    })
+                elif kind == "two_stage":
+                    pipe, msp, lp = state["pipe"], state["ms_params"], state["ldm_params"]
+                    ct, labels = pipe(
+                        msp, lp, key,
+                        mask_shape=(1, *state["spatial"]), volume_shape=state["volume_shape"],
+                        ddim=state["ddim"], mask_steps=int(req.get("mask_steps", state["mask_steps"])),
+                        cond=jnp.zeros((1, *state["spatial"], 1)),
+                    )
+                    self._json(200, {
+                        "ct_nifti_b64": _nifti_b64(np.asarray(ct[0, ..., 0], np.float32)),
+                        "labels_nifti_b64": _nifti_b64(np.asarray(labels[0]).astype(np.uint8)),
+                        "elapsed_s": round(time.perf_counter() - t0, 2),
+                    })
+                else:
+                    self._json(400, {"error": f"unknown kind {kind!r}"})
+            except Exception as e:  # surface errors to the client
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = load_yaml_config(argv[0])
+    port = int(argv[1]) if len(argv) > 1 else 8787
+
+    s1 = cfg.get("stage1", cfg)
+    ms = build_mask_sampler(s1)
+    spatial = tuple(s1.get("dataset", {}).get("volume_shape", (64, 128, 128)))
+    ms_params = _load_params(
+        lambda: ms.init_params(jax.random.key(0), spatial, cond_channels=1), s1.get("checkpoint")
+    )
+    state = {"ms": ms, "ms_params": ms_params, "spatial": spatial,
+             "mask_steps": cfg.get("mask_steps", 250)}
+    if "stage2" in cfg:
+        ldm = build_slice_ldm(cfg["stage2"])
+        lp = _load_params(
+            lambda: ldm.init_params(jax.random.key(1), cfg["stage2"].get("slice_size", 256)),
+            cfg["stage2"].get("checkpoint"),
+        )
+        state.update(
+            pipe=TwoStagePipeline(ms, ldm), ldm_params=lp,
+            ddim=DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50)),
+            volume_shape=tuple(cfg.get("volume_shape", (128, 256, 256))),
+        )
+    server = HTTPServer(("0.0.0.0", port), make_handler(state))
+    print(f"serving on :{port} (device {jax.devices()[0]})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

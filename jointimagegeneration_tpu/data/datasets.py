@@ -162,6 +162,7 @@ class RuijinSlicePairDataset:
         num_classes: int = NUM_CLASSES,
         val_fraction: float = 0.05,
         include_volumes: bool = False,
+        cache_h5: Optional[str] = None,
         seed: int = 0,
     ):
         with open(index_path) as f:
@@ -173,6 +174,10 @@ class RuijinSlicePairDataset:
         self.num_classes = num_classes
         self.include_volumes = include_volumes or split != "train"
         self.rng = np.random.default_rng(seed + 17)
+        # preprocessed-volume h5 cache (the reference caches aggressively,
+        # ruijin_pimage_and_mask.py:161-174); built lazily per case
+        self.cache_h5 = cache_h5
+        self._h5 = None
 
     def __len__(self):
         return len(self.keys)
@@ -180,7 +185,7 @@ class RuijinSlicePairDataset:
     def _resolve(self, p):
         return p if os.path.isabs(p) else str(self.base / p)
 
-    def _load_case(self, case: dict):
+    def _load_case_uncached(self, case: dict):
         img, _ = read_nifti(self._resolve(case["image"]))
         seg, _ = read_nifti(self._resolve(case["totalseg"]))
         tumor = None
@@ -193,9 +198,26 @@ class RuijinSlicePairDataset:
         labels = crop_or_pad(labels, (labels.shape[0],) + self.slice_shape)
         return img, labels
 
+    def _load_case(self, case: dict, key: Optional[str] = None):
+        if not self.cache_h5 or key is None:
+            return self._load_case_uncached(case)
+        import h5py
+
+        if self._h5 is None:
+            self._h5 = h5py.File(self.cache_h5, "a")  # lazy, per worker
+        if key in self._h5:
+            g = self._h5[key]
+            return np.asarray(g["image"]), np.asarray(g["labels"])
+        img, labels = self._load_case_uncached(case)
+        g = self._h5.create_group(key)
+        g.create_dataset("image", data=img, compression="lzf")
+        g.create_dataset("labels", data=labels.astype(np.int16), compression="lzf")
+        self._h5.flush()
+        return img, labels
+
     def __getitem__(self, i: int) -> dict:
         case = self.index[self.keys[i]]
-        img, labels = self._load_case(case)
+        img, labels = self._load_case(case, self.keys[i])
         d = img.shape[0]
         z = int(self.rng.integers(0, d))
         prev = img[z - 1] if z > 0 else np.zeros_like(img[0])

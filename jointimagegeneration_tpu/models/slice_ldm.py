@@ -150,6 +150,28 @@ class SliceLDM:
             return x, inter  # inter: (S, B, H, W, C) pred_x0 trajectory
         return x
 
+    def sample_slice_plms(
+        self,
+        params,
+        key: jax.Array,
+        cond: jnp.ndarray,
+        ddim: DDIMParams,
+        context: Optional[jnp.ndarray] = None,
+        x_T: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """PLMS variant of the slice sampler (ldm/models/diffusion/plms.py)."""
+        from ..diffusion.plms import plms_sample_loop
+
+        b, h, w, _ = cond.shape
+        if x_T is None:
+            key, sub = jax.random.split(key)
+            x_T = jax.random.normal(sub, (b, h, w, self.channels))
+
+        def eps_fn(x, t):
+            return self.apply_model(params, x, t, cond=cond, context=context).astype(x.dtype)
+
+        return plms_sample_loop(eps_fn, ddim, x_T)
+
     def log_images(self, params, key: jax.Array, batch: dict, ddim: DDIMParams, n_row: int = 4) -> dict:
         """Qualitative logging dict (LatentDiffusion.log_images,
         ddpm.py:1263-1372 / ImageLogger main.py:419-449): inputs,

@@ -92,3 +92,41 @@ def test_cfg_changes_output():
     a = ldm.sample_slice(params, jax.random.key(1), cond, ddim, guidance_scale=1.0)
     b = ldm.sample_slice(params, jax.random.key(1), cond, ddim, guidance_scale=3.0)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+def test_plms_slice_sampler():
+    ldm = SliceLDM.create(timesteps=50, model_channels=8, channel_mult=(1, 2),
+                          attention_resolutions=(), num_res_blocks=1, num_head_channels=4)
+    params = ldm.init_params(jax.random.key(0), 16)
+    ddim = DDIMParams.create(ldm.diffusion, 5)
+    cond = jnp.zeros((1, 16, 16, 2))
+    out = ldm.sample_slice_plms(params, jax.random.key(1), cond, ddim)
+    assert out.shape == (1, 16, 16, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_slice_pair_h5_cache(tmp_path):
+    import json
+    from jointimagegeneration_tpu.data import write_nifti
+    from jointimagegeneration_tpu.data.datasets import RuijinSlicePairDataset
+
+    rng = np.random.default_rng(0)
+    index = {}
+    for name in ["c1", "c2"]:
+        write_nifti(tmp_path / f"{name}_img.nii.gz", rng.normal(0, 100, (4, 8, 8)).astype(np.float32))
+        write_nifti(tmp_path / f"{name}_seg.nii.gz", rng.choice([0, 1, 5], (4, 8, 8)).astype(np.int16))
+        index[name] = {"image": f"{name}_img.nii.gz", "totalseg": f"{name}_seg.nii.gz"}
+    (tmp_path / "index.json").write_text(json.dumps(index))
+    cache = str(tmp_path / "cache.h5")
+    ds = RuijinSlicePairDataset(str(tmp_path / "index.json"), split="train",
+                                slice_shape=(8, 8), val_fraction=0.5, cache_h5=cache)
+    a = ds[0]
+    # second load hits the cache and must be identical
+    ds.rng = np.random.default_rng(17)  # reset slice rng to reproduce
+    ds2 = RuijinSlicePairDataset(str(tmp_path / "index.json"), split="train",
+                                 slice_shape=(8, 8), val_fraction=0.5, cache_h5=cache)
+    b = ds2[0]
+    np.testing.assert_allclose(a["image"], b["image"])
+    import h5py
+    with h5py.File(cache, "r") as f:
+        assert len(f.keys()) >= 1
