@@ -35,6 +35,9 @@ def main(argv=None):
     dd = m.get("ddconfig", {})
     loss_cfg = m.get("lossconfig", {})
 
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     mesh = make_mesh()
     dims = dd.get("dims", 2)
     model = AutoencoderKL(

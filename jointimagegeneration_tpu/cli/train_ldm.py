@@ -30,6 +30,9 @@ def main(argv=None):
     cfg = load_yaml_config(cfg_path, overrides=argv[2:])
     model_cfg = cfg.get("model", cfg)
 
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     mesh = make_mesh()
     model = build_slice_ldm(model_cfg)
     train_ds = build_slice_dataset(cfg, "train")

@@ -30,6 +30,9 @@ def main(argv=None):
     cfg_path, exp = argv[0], (argv[1] if len(argv) > 1 else "exp")
     cfg = load_yaml_config(cfg_path, overrides=argv[2:])
 
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     mesh = make_mesh()
     model = build_mask_sampler(cfg)
     train_ds = build_mask_dataset(cfg, "train")

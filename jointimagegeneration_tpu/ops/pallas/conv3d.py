@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3d_3x3"]
+__all__ = ["conv3d_3x3", "conv3d_3x3_v2"]
 
 
 def _kernel(x_hbm, w_ref, o_ref, win_ref, patch_ref, sem, *, th: int, w_out: int, w_pad: int,
@@ -142,4 +142,76 @@ def _conv3d_3x3_impl(x, kernel, tile_h, activate):
         ],
         interpret=jax.default_backend() != "tpu",
     )(xp, wk)
+    return out[None]
+
+
+# --- variant 2: BlockSpec-delivered halo (no manual DMA) ---------------------
+# Inputs are the depth-padded array passed three times with block index maps
+# (zi, zi+1, zi+2) that do NOT depend on the H-tile grid dim, so Mosaic keeps
+# the slices resident across row tiles; vmem_limit_bytes lifts the
+# conservative scoped-allocation estimate.
+
+
+def _kernel_v2(x0_ref, x1_ref, x2_ref, w_ref, o_ref, patch_ref, *, th: int, w_out: int,
+               cin: int, activate: bool):
+    yi = pl.program_id(1)
+    y0 = yi * th
+    refs = (x0_ref, x1_ref, x2_ref)
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                col = (dz * 9 + dy * 3 + dx) * cin
+                blk = refs[dz][0, pl.ds(y0 + dy, th), pl.ds(dx, w_out), :]
+                patch_ref[:, col : col + cin] = blk.reshape(th * w_out, cin)
+    acc = jnp.dot(patch_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if activate:
+        acc = acc * jax.nn.sigmoid(acc)
+    o_ref[0, :, :, :] = acc.reshape(th, w_out, -1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv3d_3x3_v2(x: jnp.ndarray, kernel: jnp.ndarray, tile_h: int = 8,
+                  activate: bool = False, vmem_limit_mb: int = 64) -> jnp.ndarray:
+    return _conv3d_v2_impl(x, kernel, tile_h, activate, vmem_limit_mb)
+
+
+def _v2_fwd(x, kernel, tile_h, activate, vmem_limit_mb):
+    return conv3d_3x3_v2(x, kernel, tile_h, activate, vmem_limit_mb), (x, kernel)
+
+
+def _v2_bwd(tile_h, activate, vmem_limit_mb, res, g):
+    x, kernel = res
+
+    def ref(x, kernel):
+        y = _xla_conv3d(x, kernel)
+        return y * jax.nn.sigmoid(y) if activate else y
+
+    _, vjp = jax.vjp(ref, x, kernel)
+    return vjp(g)
+
+
+conv3d_3x3_v2.defvjp(_v2_fwd, _v2_bwd)
+
+
+def _conv3d_v2_impl(x, kernel, tile_h, activate, vmem_limit_mb=64):
+    b, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    assert kernel.shape[:4] == (3, 3, 3, cin) and h % tile_h == 0
+    if b != 1:
+        return jax.vmap(lambda xi: _conv3d_v2_impl(xi[None], kernel, tile_h, activate, vmem_limit_mb)[0])(x)
+    xp = jnp.pad(x[0], ((1, 1), (1, 1), (1, 1), (0, 0)))  # (D+2, H+2, W+2, C)
+    wk = kernel.reshape(27 * cin, cout)
+    slice_spec = lambda off: pl.BlockSpec(
+        (1, h + 2, w + 2, cin), lambda zi, yi, off=off: (zi + off, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, th=tile_h, w_out=w, cin=cin, activate=activate),
+        grid=(d, h // tile_h),
+        in_specs=[slice_spec(0), slice_spec(1), slice_spec(2), pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tile_h, w, cout), lambda zi, yi: (zi, yi, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, h, w, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_h * w, 27 * cin), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb * 2**20),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, xp, xp, wk)
     return out[None]

@@ -22,7 +22,20 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "is_chief"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "is_chief", "maybe_initialize_distributed"]
+
+
+def maybe_initialize_distributed() -> None:
+    """Multihost bring-up (replaces idist.Parallel / PL ddp process spawn):
+    one process per host, coordinated through jax.distributed.  No-op
+    unless a coordinator is configured (env JAX_COORDINATOR_ADDRESS or a
+    recognised cluster environment) or jax already initialised."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialised
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
 
 
 def make_mesh(
