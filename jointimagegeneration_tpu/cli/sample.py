@@ -76,18 +76,31 @@ def main(argv=None):
         if stage == "mask":
             ds = build_mask_dataset(cfg.get("stage1", cfg), "val")
             item = ds[i % len(ds)]
-            labels = ms.sample_labels(
-                ms_params, sub, (1, *spatial),
-                cond=jnp.asarray(item["image"])[None],
-                num_steps=cfg.get("mask_steps", 250),
-            )
-            labels = np.asarray(labels[0])
+            # multiple draws per case for distribution metrics (the
+            # reference's `samples: 12` GED protocol, params.yml:26)
+            n_rep = cfg.get("samples", 1)
+            draws = []
+            for r in range(n_rep):
+                labels = ms.sample_labels(
+                    ms_params, jax.random.fold_in(sub, r), (1, *spatial),
+                    cond=jnp.asarray(item["image"])[None],
+                    num_steps=cfg.get("mask_steps", 250),
+                )
+                draws.append(np.asarray(labels[0]))
+            labels = draws[0]
             save_label_volume(case_dir / "pred.nii.gz", labels)
             save_grid_png(case_dir / "pred.png", labels_to_grid(labels))
             gt = np.argmax(item["mask"], -1)
             save_label_volume(case_dir / "gt.nii.gz", gt)
             dice = np.asarray(per_class_dice(jnp.asarray(labels), jnp.asarray(gt), ms.num_classes))
-            print(f"case {i}: mean fg dice {dice[1:].mean():.4f}")
+            msg = f"case {i}: mean fg dice {dice[1:].mean():.4f}"
+            if n_rep > 1:
+                from ..eval.metrics import generalized_energy_distance, hungarian_matched_iou
+
+                ged = generalized_energy_distance(np.stack(draws), gt[None], ms.num_classes)
+                hm = hungarian_matched_iou(np.stack(draws), np.stack([gt] * n_rep), ms.num_classes)
+                msg += f" GED {ged:.4f} HM-IoU {hm:.4f}"
+            print(msg)
 
         elif stage == "ct":
             ds = build_slice_dataset(cfg.get("stage2", cfg), "val")

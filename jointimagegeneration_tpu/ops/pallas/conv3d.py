@@ -17,15 +17,22 @@ MXU-friendly matmul per (depth, row-tile) program:
 
 Interpret mode runs on CPU for the test suite.
 
-STATUS: numerically verified (tests/test_conv3d_kernel.py, incl. custom
-VJP) but currently EXPERIMENTAL on hardware — the Mosaic toolchain in
-this environment rejects each halo-window formulation tried so far
-(sublane-unaligned HBM slices; lane-dim slices of non-128 channel
-extents; lane-splitting shape casts), so `UNet(use_pallas_conv=True)`
-stays off by default and the XLA conv path (≈53 TF/s whole-model at the
-stage-1 shape) remains production.  Next approach for round 2: deliver
-halo rows via three separate grid-blocked inputs with
-`vmem_limit_bytes` raised and H tiled through the output grid only.
+STATUS (measured on v5e): `conv3d_3x3_v2` below compiles and runs
+bit-exact on hardware and beats XLA's conv3d 1.3–1.5x in ISOLATION at
+Cin>=128 (60 vs 39–58 TF/s at the level-1 shape; parity at Cin=64).
+But the whole-model A/B is 2x SLOWER with the kernel routed in
+(227 vs 121 ms/denoise-step): each pallas_call breaks XLA's
+conv+GroupNorm+SiLU fusion and the host-side halo pad materialises a
+copy per conv, costs the isolated win doesn't see.  So
+`UNet(use_pallas_conv=True)` stays OFF by default; the XLA conv path
+(~53 TF/s whole-model) is production.  Round-2 direction: fuse the
+whole ResBlock (GN+SiLU+conv+emb+conv) into one kernel so the fusion
+boundary disappears, and keep the halo in VMEM across the two convs.
+
+The first formulation (`conv3d_3x3`, manual halo DMA from HBM) remains
+interpret-only: Mosaic rejects its window slices (sublane-unaligned HBM
+slices; lane slices of non-128 channel extents; lane-splitting shape
+casts).
 """
 
 from __future__ import annotations

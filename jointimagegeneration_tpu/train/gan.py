@@ -91,7 +91,11 @@ def make_autoencoder_train_step(
     perceptual_weight: float = 1.0,
     disc_loss: str = "hinge",
     adaptive_d_weight: bool = True,
+    feature_matching_weight: float = 0.0,
 ) -> Callable:
+    """feature_matching_weight > 0 adds the GAN feature-matching term of the
+    3D path (contperceptual.py:234-250): L1 between discriminator
+    activations on real vs reconstructed."""
     d_loss_fn = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
 
     def rec_terms(g_params, key, x):
@@ -114,7 +118,13 @@ def make_autoencoder_train_step(
         # ---- generator ----------------------------------------------------
         def g_loss_fn(g_params):
             rec, nll, kl = rec_terms(g_params, k_sample, x)
-            logits_fake = discriminator.apply(state.d_params, rec)
+            if feature_matching_weight > 0:
+                logits_fake, feats_fake = discriminator.apply(state.d_params, rec, return_features=True)
+                _, feats_real = discriminator.apply(state.d_params, x, return_features=True)
+                fm = sum(jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b))) for a, b in zip(feats_fake, feats_real))
+                nll = nll + feature_matching_weight * fm
+            else:
+                logits_fake = discriminator.apply(state.d_params, rec)
             g_adv = -jnp.mean(logits_fake)
             if adaptive_d_weight:
                 nll_n = _last_layer_grad_norm(lambda p: rec_terms(p, k_sample, x)[1], g_params)

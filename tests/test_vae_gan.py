@@ -91,3 +91,18 @@ def test_gan_train_step_runs_and_learns(tiny_ae):
     assert int(state.step) == 6
     # disc became active after disc_start
     assert float(metrics["d_weight"]) >= 0
+
+
+def test_gan_feature_matching_term(tiny_ae):
+    disc = PatchDiscriminator(dims=2, ndf=8, n_layers=2)
+    x = jax.random.uniform(jax.random.key(20), (1, 32, 32, 1))
+    g_params = tiny_ae.init(jax.random.key(21), x, jax.random.key(22))
+    d_params = disc.init(jax.random.key(23), x)
+    state = GANTrainState.create(
+        g_params, d_params, build_optimizer("Adam", 1e-3), build_optimizer("Adam", 1e-3)
+    )
+    step = jax.jit(make_autoencoder_train_step(
+        tiny_ae, disc, disc_start=0, adaptive_d_weight=False, feature_matching_weight=1.0
+    ))
+    state, metrics = step(state, {"image": x}, jax.random.key(24))
+    assert np.isfinite(float(metrics["loss"]))
