@@ -67,6 +67,27 @@ def main(argv=None):
         )
         ddim = DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50), eta=cfg.get("ddim_eta", 0.0))
 
+    # text conditioning (milestone config #4): features from an .npz (the
+    # form stage-1 trains on, ccdm/datasets/ruijin.py:108-111) or encoded
+    # on the fly by a local frozen BERT; refined by the selfattn encoder
+    # when stage-1 is configured with one.
+    context = None
+    tcfg = cfg.get("text")
+    if tcfg and stage in ("mask", "two_stage"):
+        if isinstance(tcfg, dict) and tcfg.get("features_npz"):
+            with np.load(tcfg["features_npz"]) as z:
+                context = jnp.asarray(z[list(z.files)[0]])[None]
+        elif isinstance(tcfg, dict) and tcfg.get("bert_path"):
+            from ..nn.text import FrozenBERTEmbedder
+
+            context = jnp.asarray(FrozenBERTEmbedder(tcfg["bert_path"])(tcfg.get("prompt", "")))
+        fce = cfg.get("stage1", {}).get("feature_cond_encoder", {})
+        if context is not None and fce.get("type") == "selfattn":
+            from ..models.cond_encoders import build_feature_cond_encoder
+
+            enc, enc_params, _ = build_feature_cond_encoder(fce, jax.random.key(7))
+            context = enc.apply(enc_params, context)
+
     t_start = time.perf_counter()
     for i in range(n_cases):
         key, sub = jax.random.split(key)
@@ -84,6 +105,7 @@ def main(argv=None):
                 labels = ms.sample_labels(
                     ms_params, jax.random.fold_in(sub, r), (1, *spatial),
                     cond=jnp.asarray(item["image"])[None],
+                    context=context,
                     num_steps=cfg.get("mask_steps", 250),
                 )
                 draws.append(np.asarray(labels[0]))
@@ -125,6 +147,7 @@ def main(argv=None):
                 # zeros image condition — the checked-in stage-1 config
                 # conditions on a zero image channel (ruijin.py:181-182)
                 cond=jnp.zeros((1, *spatial, 1)),
+                context=context,
             )
             save_image_volume(case_dir / "image.nii.gz", np.asarray(ct[0, ..., 0]))
             save_label_volume(case_dir / "pred.nii.gz", np.asarray(labels[0]))
