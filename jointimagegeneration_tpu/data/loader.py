@@ -49,6 +49,13 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        per_process = len(dataset) // jax.process_count()
+        if drop_last and per_process < batch_size:
+            # would yield ZERO batches per epoch and spin the train loop forever
+            raise ValueError(
+                f"dataset shard ({per_process} items) smaller than batch_size "
+                f"({batch_size}); reduce batch_size or set drop_last=False"
+            )
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch

@@ -131,3 +131,11 @@ def test_dataloader_batching_and_epochs():
     names2 = [n for b in b2 for n in b["casename"]]
     assert sorted(names1) == sorted(names2)
     assert names1 != names2
+
+
+def test_dataloader_rejects_batch_larger_than_dataset():
+    import pytest as _pytest
+
+    ds = SyntheticMaskDataset(num_cases=2, volume_shape=(2, 4, 4), num_classes=3)
+    with _pytest.raises(ValueError, match="smaller than batch_size"):
+        DataLoader(ds, batch_size=4)
