@@ -59,3 +59,13 @@ def image_volume_to_grid(vol: np.ndarray, every: int = 4) -> np.ndarray:
     vol = np.clip(np.asarray(vol), 0, 1)
     slices = [(np.stack([vol[z]] * 3, -1) * 255).astype(np.uint8) for z in range(0, vol.shape[0], every)]
     return make_grid(slices)
+
+
+def annotate_grid(grid: np.ndarray, text: str, color=(255, 255, 0)) -> np.ndarray:
+    """Burn a text label into a grid image (the reference's text/number
+    burn-in renderer for qualitative panels, ccdm/ddpm/utils.py:101-145)."""
+    from PIL import Image, ImageDraw
+
+    im = Image.fromarray(np.asarray(grid))
+    ImageDraw.Draw(im).text((2, 2), text, fill=tuple(color))
+    return np.asarray(im)

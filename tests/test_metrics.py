@@ -64,3 +64,12 @@ def test_frechet_distance_identity_and_shift():
     assert frechet_distance(a, a.copy()) == pytest.approx(0.0, abs=1e-6)
     b = a + 3.0
     assert frechet_distance(a, b) == pytest.approx(8 * 9.0, rel=0.05)
+
+
+def test_annotate_grid():
+    from jointimagegeneration_tpu.eval.writers import annotate_grid, make_grid
+
+    grid = make_grid([np.zeros((16, 16, 3), np.uint8)] * 2)
+    out = annotate_grid(grid, "case 01 t=500")
+    assert out.shape == grid.shape
+    assert out.sum() > grid.sum()  # pixels were drawn
