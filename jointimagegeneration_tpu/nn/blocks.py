@@ -101,10 +101,9 @@ class PallasConv3d(nn.Module):
         kernel = self.param("kernel", init, (3, 3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         dt = self.dtype or x.dtype
-        # the Pallas im2col kernel beats XLA conv3d only when the contraction
-        # is wide AND the tile is big enough to amortise (measured: 1.3-1.5x
-        # at Cin>=128 with H>=64; slower at small spatial extents)
-        if cin >= 128 and x.shape[2] >= 64 and x.shape[2] % 8 == 0:
+        # route ONLY the measured-win shape (BENCH_NOTES): Cin==128 at large
+        # spatial extents. Cin=256 skip-concat tiles and small extents regress.
+        if cin == 128 and x.shape[2] >= 64 and x.shape[2] % 8 == 0:
             y = conv3d_3x3_v2(x.astype(dt), kernel.astype(dt), 8, False)
         else:
             y = _xla_conv3d(x.astype(dt), kernel.astype(dt))

@@ -20,14 +20,15 @@ Interpret mode runs on CPU for the test suite.
 STATUS (measured on v5e): `conv3d_3x3_v2` below compiles and runs
 bit-exact on hardware and beats XLA's conv3d 1.3–1.5x in ISOLATION at
 Cin>=128 (60 vs 39–58 TF/s at the level-1 shape; parity at Cin=64).
-But the whole-model A/B is 2x SLOWER with the kernel routed in
-(227 vs 121 ms/denoise-step): each pallas_call breaks XLA's
-conv+GroupNorm+SiLU fusion and the host-side halo pad materialises a
-copy per conv, costs the isolated win doesn't see.  So
+But whole-model routing is >2x SLOWER even when only ONE conv site at
+the exact win shape is routed (282 vs 120 ms/denoise-step), while the
+same XLA-vs-pallas pair in a small ResBlock-context program differs by
+just 7% — the cost is the tpu_custom_call boundary inside a large XLA
+module (lost buffer aliasing / scheduling), not the kernel.  So
 `UNet(use_pallas_conv=True)` stays OFF by default; the XLA conv path
-(~53 TF/s whole-model) is production.  Round-2 direction: fuse the
-whole ResBlock (GN+SiLU+conv+emb+conv) into one kernel so the fusion
-boundary disappears, and keep the halo in VMEM across the two convs.
+(~53 TF/s whole-model) is production.  Round-2 direction: investigate
+aliasing across pallas_call in large programs, and fuse whole ResBlocks
+(GN+SiLU+conv+emb+conv) so boundaries are fewer and heavier.
 
 The first formulation (`conv3d_3x3`, manual halo DMA from HBM) remains
 interpret-only: Mosaic rejects its window slices (sublane-unaligned HBM
