@@ -60,6 +60,7 @@ class SliceLDM:
         parameterization: str = "eps",
         dtype=jnp.float32,
         remat: bool = False,
+        spatial_axis: Optional[str] = None,
     ) -> "SliceLDM":
         unet = UNet(
             model_channels=model_channels,
@@ -73,6 +74,7 @@ class SliceLDM:
             context_dim=context_dim,
             dtype=dtype,
             remat=remat,
+            spatial_axis=spatial_axis,
         )
         diffusion = GaussianDiffusion.create(
             beta_schedule, timesteps, linear_start=linear_start, linear_end=linear_end,

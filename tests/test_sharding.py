@@ -99,3 +99,33 @@ def test_spatial_sharding_unet_matches_unsharded():
         ps = jax.device_put(params, NamedSharding(mesh, P()))
         out = np.asarray(jax.jit(m_sharded.apply)(ps, xs, t))
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
+
+
+def test_spatially_sharded_slice_sampling_matches():
+    """Stage-2 DDIM slice chain with activations sharded over 'model':
+    the north-star deployment shape (one volume, 8-way sharded UNet)."""
+    import jax.numpy as jnp
+    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+    from jointimagegeneration_tpu.models import SliceLDM
+
+    def build(spatial_axis):
+        return SliceLDM.create(
+            timesteps=20, model_channels=8, channel_mult=(1, 2), attention_resolutions=(),
+            num_res_blocks=1, num_head_channels=4, spatial_axis=spatial_axis,
+        )
+
+    plain = build(None)
+    params = plain.init_params(jax.random.key(0), 16)
+    ddim = DDIMParams.create(plain.diffusion, 4)
+    cond = jax.random.normal(jax.random.key(1), (1, 16, 16, 2))
+    ref = np.asarray(plain.sample_slice(params, jax.random.key(2), cond, ddim))
+
+    sharded = build("model")
+    mesh = make_mesh(data=1, model=8)
+    with mesh:
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        cs = jax.device_put(cond, NamedSharding(mesh, P(None, "model")))
+        out = np.asarray(
+            jax.jit(lambda p, c, k: sharded.sample_slice(p, k, c, ddim))(ps, cs, jax.random.key(2))
+        )
+    np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
