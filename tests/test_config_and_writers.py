@@ -1,0 +1,56 @@
+import numpy as np
+import pytest
+
+from jointimagegeneration_tpu.core.config import Registry, apply_overrides, instantiate, load_yaml_config
+from jointimagegeneration_tpu.eval.writers import image_volume_to_grid, labels_to_grid, make_grid
+
+
+def test_registry_and_instantiate():
+    reg = Registry("test")
+
+    @reg.register("adder")
+    def make_adder(a, b=1):
+        return a + b
+
+    assert instantiate({"target": "adder", "params": {"a": 2, "b": 3}}, reg) == 5
+    assert instantiate({"target": "adder", "params": {"a": 2}}, reg) == 3
+    with pytest.raises(KeyError, match="unknown target"):
+        instantiate({"target": "nope"}, reg)
+    with pytest.raises(KeyError, match="duplicate"):
+        reg.register("adder")(make_adder)
+
+
+def test_yaml_merge_and_overrides(tmp_path):
+    (tmp_path / "a.yml").write_text("model: {lr: 1.0, depth: 2}\nname: base\n")
+    (tmp_path / "b.yml").write_text("model: {lr: 0.5}\n")
+    cfg = load_yaml_config(tmp_path / "a.yml", tmp_path / "b.yml", overrides=["model.depth=7", "extra=true"])
+    assert cfg["model"]["lr"] == 0.5  # right file wins
+    assert cfg["model"]["depth"] == 7  # override wins
+    assert cfg["name"] == "base"
+    assert cfg["extra"] is True
+
+
+def test_apply_overrides_parses_yaml_scalars():
+    cfg = {}
+    apply_overrides(cfg, ["a.b=1.5", "a.c=[1,2]", "d=null"])
+    assert cfg["a"]["b"] == 1.5
+    assert cfg["a"]["c"] == [1, 2]
+    assert cfg["d"] is None
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["noequals"])
+
+
+def test_make_grid_layout():
+    imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(3)]
+    grid = make_grid(imgs, ncols=2, pad=1)
+    assert grid.shape == (9, 9, 3)  # 2 rows x 2 cols with 1px pad
+    assert grid[0, 0, 0] == 0 and grid[0, 5, 0] == 1 and grid[5, 0, 0] == 2
+
+
+def test_label_and_image_grids():
+    labels = np.random.default_rng(0).integers(0, 12, (4, 8, 8))
+    g = labels_to_grid(labels, every=2)
+    assert g.ndim == 3 and g.shape[-1] == 3
+    vol = np.random.default_rng(1).random((4, 8, 8))
+    g2 = image_volume_to_grid(vol, every=2)
+    assert g2.dtype == np.uint8
