@@ -1,46 +1,65 @@
-"""Benchmark: stage-1 categorical UNet denoise steps/sec/chip.
+"""Benchmarks over the whole BASELINE surface — one JSON line per metric.
 
-The primary BASELINE metric (BASELINE.md): denoise steps per second per
-chip on the stage-1 workload — 12-class one-hot 64x128x128 volume,
-reference UNet (base 64, mult [1,2,2,4,5], attn at ds {32,16,8},
-head_ch 32).  One denoise step = UNet forward + closed-form categorical
-posterior + categorical draw.
+Primary metric (printed FIRST so it is recorded even if later metrics run
+out of budget): stage-1 categorical UNet denoise steps/sec/chip at the
+reference workload — 12-class one-hot 64x128x128 volume, UNet base 64,
+mult [1,2,2,4,5], attn at ds {32,16,8} (ccdm/params.yml:69-76).  One
+denoise step = UNet forward + closed-form categorical posterior +
+categorical draw.
 
-Measured the production way: the K-step reverse chain is ONE
-`lax.scan`-compiled program (exactly how `MaskSampler.sample` runs), so
-per-step Python dispatch — which dominates on this host — is excluded, as
-it is in real sampling.  Timing is synced by fetching a scalar reduction
-of the result (on this box `block_until_ready` alone does not await the
-tunneled device, and the first device->host fetch pays a one-time ~100 s
-relay setup which is excluded by a warmup fetch).
+Additional metrics (BASELINE.md milestones, VERDICT round-1 item #9):
+  * stage-1 train steps/sec (full-size fwd+bwd+Adam+EMA, remat, batch 1)
+  * stage-2 DDIM denoise steps/sec at 512^2 (UNet base 128, mult
+    [1,2,4,4,5], concat-cond — ruijin-ldm_from_controlnet.yaml:24-40)
+  * end-to-end two-stage latency: 25-step mask sample at 64x128x128 +
+    autoregressive 16-slice 256^2 CT at 50 DDIM steps, plus the linear
+    extrapolation to the 128-slice north-star volume.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.  The
-reference publishes no numbers (BASELINE.md), so vs_baseline is null.
+Measured the production way: each chain is ONE `lax.scan`-compiled
+program (exactly how the samplers run), so per-step Python dispatch —
+which dominates on this host — is excluded, as it is in real sampling.
+Timing is synced by fetching a scalar reduction (on this box
+`block_until_ready` alone does not await the tunneled device, and the
+first device->host fetch pays a one-time relay setup which is excluded by
+a warmup fetch).
+
+The reference publishes no numbers (BASELINE.md) so vs_baseline is null;
+the north-star target (<60 s full volume on v5e-8) is tracked by the
+extrapolated e2e line.  Set BENCH_METRICS=primary to emit only the first
+metric.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def main():
+def emit(metric, value, unit):
+    print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit,
+                      "vs_baseline": None}), flush=True)
+
+
+def time_chain(fn, *args, iters=3):
+    """fn must return a scalar; first call warms compile + d2h relay."""
+    _ = float(fn(*args[0] if isinstance(args[0], tuple) else args))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _ = float(fn(*args[0] if isinstance(args[0], tuple) else args))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_stage1_denoise():
     from jointimagegeneration_tpu.models import MaskSampler
 
-    spatial = (64, 128, 128)  # reference stage-1 volume (ccdm/datasets/ruijin.py:176-178)
-    num_classes = 12
+    spatial = (64, 128, 128)  # reference stage-1 volume (ruijin.py:176-178)
     chain_steps = 25
     model = MaskSampler.create(
-        num_classes=num_classes,
-        time_steps=1000,
-        model_channels=64,
-        channel_mult=(1, 2, 2, 4, 5),
-        attention_resolutions=(32, 16, 8),
-        num_res_blocks=2,
-        num_head_channels=32,
-        dtype=jnp.bfloat16,
+        num_classes=12, time_steps=1000, model_channels=64,
+        channel_mult=(1, 2, 2, 4, 5), attention_resolutions=(32, 16, 8),
+        num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16,
     )
     params = model.init_params(jax.random.key(0), spatial, cond_channels=1)
     cond = jnp.zeros((1, *spatial, 1), jnp.bfloat16)
@@ -48,29 +67,128 @@ def main():
     @jax.jit
     def run_chain(params, key):
         x = model.sample(params, key, (1, *spatial), cond=cond, num_steps=chain_steps)
-        return jnp.sum(x[..., 0])  # scalar; forces the whole chain
-
-    # warm: compile + first d2h (pays the one-time relay setup)
-    _ = float(run_chain(params, jax.random.key(1)))
+        return jnp.sum(x[..., 0])
 
     n_iters = 3
+    _ = float(run_chain(params, jax.random.key(1)))
     t0 = time.perf_counter()
-    acc = 0.0
     for i in range(n_iters):
-        acc += float(run_chain(params, jax.random.key(2 + i)))  # fetch => full sync
+        _ = float(run_chain(params, jax.random.key(2 + i)))
     dt = time.perf_counter() - t0
+    emit("stage1_denoise_steps_per_sec_per_chip_64x128x128",
+         chain_steps * n_iters / dt, "steps/s")
+    return model, params, spatial
 
-    steps_per_sec = chain_steps * n_iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "stage1_denoise_steps_per_sec_per_chip_64x128x128",
-                "value": round(steps_per_sec, 4),
-                "unit": "steps/s",
-                "vs_baseline": None,
-            }
-        )
+
+def bench_stage1_train():
+    from jointimagegeneration_tpu.models import MaskSampler
+    from jointimagegeneration_tpu.train import EMATrainState, build_optimizer, make_mask_train_step
+
+    spatial = (64, 128, 128)
+    model = MaskSampler.create(
+        num_classes=12, time_steps=1000, model_channels=64,
+        channel_mult=(1, 2, 2, 4, 5), attention_resolutions=(32, 16, 8),
+        num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16, remat=True,
     )
+    params = model.init_params(jax.random.key(0), spatial, cond_channels=1)
+    tx = build_optimizer("AdamW", 1e-4)
+    state = EMATrainState.create(params, tx)
+    step = make_mask_train_step(model, class_weights=jnp.ones((12,)))
+    batch = {
+        "mask": jax.nn.one_hot(jnp.zeros((1, *spatial), jnp.int32), 12),
+        "image": jnp.zeros((1, *spatial, 1)),
+    }
+    k_steps = 4
+
+    @jax.jit
+    def run_train(state, key):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, metrics = step(st, batch, sub)
+            return (st, k), metrics["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, key), jnp.arange(k_steps))
+        return jnp.sum(losses)
+
+    dt = time_chain(run_train, state, jax.random.key(1))
+    emit("stage1_train_steps_per_sec_64x128x128", k_steps / dt, "steps/s")
+
+
+def _stage2(size, ddim_steps):
+    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+    from jointimagegeneration_tpu.models import SliceLDM
+
+    model = SliceLDM.create(
+        image_channels=1, cond_channels=2, timesteps=1000,
+        model_channels=128, channel_mult=(1, 2, 4, 4, 5),
+        attention_resolutions=(32, 16, 8), num_res_blocks=2,
+        num_head_channels=32, dtype=jnp.bfloat16,
+    )
+    params = model.init_params(jax.random.key(1), size)
+    ddim = DDIMParams.create(model.diffusion, ddim_steps)
+    return model, params, ddim
+
+
+def bench_stage2_ddim():
+    size, chain = 512, 10
+    model, params, ddim = _stage2(size, chain)
+    cond = jnp.zeros((1, size, size, 2), jnp.bfloat16)
+
+    @jax.jit
+    def run(params, key):
+        s = model.sample_slice(params, key, cond, ddim)
+        return jnp.sum(s)
+
+    dt = time_chain(run, params, jax.random.key(2))
+    emit("stage2_ddim_steps_per_sec_512x512", chain / dt, "steps/s")
+
+
+def bench_e2e():
+    """25-step mask at 64x128x128 -> nearest-upsample -> 16 slices of 256^2
+    at 50 DDIM steps (one scan program), extrapolated to the 128-slice
+    north-star volume (BASELINE.md: <60 s on v5e-8; this is single-chip)."""
+    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+    from jointimagegeneration_tpu.models import MaskSampler
+    from jointimagegeneration_tpu.pipeline import TwoStagePipeline
+
+    spatial = (64, 128, 128)
+    n_slices, size, ddim_steps = 16, 256, 50
+    ms = MaskSampler.create(
+        num_classes=12, time_steps=1000, model_channels=64,
+        channel_mult=(1, 2, 2, 4, 5), attention_resolutions=(32, 16, 8),
+        num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16,
+    )
+    ms_params = ms.init_params(jax.random.key(0), spatial, cond_channels=1)
+    ldm, ldm_params, ddim = _stage2(size, ddim_steps)
+    pipe = TwoStagePipeline(ms, ldm)
+
+    @jax.jit
+    def run(ms_params, ldm_params, key):
+        ct, labels = pipe(
+            ms_params, ldm_params, key,
+            mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
+            ddim=ddim, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
+        )
+        return jnp.sum(ct) + jnp.sum(labels)
+
+    dt = time_chain(run, (ms_params, ldm_params, jax.random.key(3)), iters=1)
+    emit(f"e2e_two_stage_{n_slices}x{size}x{size}_seconds", dt, "s")
+    # mask time is shared; slice time scales linearly in z (sample_diffusion
+    # drives n_slices x 50 UNet forwards, SURVEY.md §3.4)
+    emit("e2e_extrapolated_128slice_256x256_seconds", dt * (128 / n_slices), "s")
+
+
+def main():
+    which = os.environ.get("BENCH_METRICS", "all")
+    bench_stage1_denoise()
+    if which == "primary":
+        return
+    for fn in (bench_stage1_train, bench_stage2_ddim, bench_e2e):
+        try:
+            fn()
+        except Exception as e:  # keep emitting the remaining metrics
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

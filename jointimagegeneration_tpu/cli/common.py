@@ -16,14 +16,39 @@ from ..data.datasets import (
 )
 from ..data.loader import DataLoader
 from ..models import MaskSampler, SliceLDM
+from ..models.autoencoder import AutoencoderKL
 from ..train import EMATrainState, build_optimizer
 
-__all__ = ["build_mask_sampler", "build_slice_ldm", "build_mask_dataset", "build_slice_dataset"]
+__all__ = [
+    "build_mask_sampler", "build_slice_ldm", "build_mask_dataset",
+    "build_slice_dataset", "build_autoencoder",
+]
+
+
+def build_autoencoder(m: dict) -> AutoencoderKL:
+    """AutoencoderKL from a model-config section (embed_dim + ddconfig keys
+    mirroring the reference yaml, ruijin-ldm_from_controlnet_ae.yaml:41-66)."""
+    dd = m.get("ddconfig", {})
+    return AutoencoderKL(
+        embed_dim=m.get("embed_dim", 4),
+        ch=dd.get("ch", 128),
+        ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        attn_resolutions=tuple(dd.get("attn_resolutions", ())),
+        z_channels=dd.get("z_channels", 4),
+        in_channels=dd.get("in_channels", 1),
+        out_ch=dd.get("out_ch", 1),
+        dims=dd.get("dims", 2),
+        dropout=dd.get("dropout", 0.0),
+        resolution=dd.get("resolution", 512),
+    )
 
 
 def build_mask_sampler(cfg: dict) -> MaskSampler:
     """cfg keys mirror ccdm params.yml (unet_openai + diffusion sections)."""
     u = cfg.get("unet_openai", {})
+    fce = cfg.get("feature_cond_encoder", {}) or {}
+    selfattn = fce.get("type") == "selfattn"
     return MaskSampler.create(
         num_classes=cfg.get("num_classes", 12),
         time_steps=cfg.get("time_steps", 1000),
@@ -33,9 +58,11 @@ def build_mask_sampler(cfg: dict) -> MaskSampler:
         attention_resolutions=tuple(u.get("attention_resolutions", (32, 16, 8))),
         num_res_blocks=u.get("num_res_blocks", 2),
         num_head_channels=u.get("num_head_channels", 32),
-        context_dim=cfg.get("feature_cond_encoder", {}).get("embed_dim")
-        if cfg.get("feature_cond_encoder", {}).get("type") == "selfattn"
-        else None,
+        context_dim=fce.get("embed_dim") if selfattn else None,
+        dims=cfg.get("dims", 3),
+        # the trainable text refiner joins the train state (params['refiner'])
+        # unless the config freezes it (condition_encoder.py trainable path)
+        text_refiner=fce if selfattn and fce.get("train", True) else None,
         dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
         step_T_sample=cfg.get("step_T_sample", "majority"),
         remat=cfg.get("remat", False),
@@ -68,10 +95,15 @@ def build_mask_dataset(cfg: dict, split: str):
     kind = d.get("kind", "synthetic")
     shape = tuple(d.get("volume_shape", (64, 128, 128)))
     if kind == "synthetic":
+        fce = cfg.get("feature_cond_encoder", {}) or {}
+        ctx_shape = None
+        if fce.get("type") == "selfattn":
+            ctx_shape = (d.get("context_len", 4), fce.get("embed_dim", 768))
         return SyntheticMaskDataset(
             num_cases=d.get("num_cases", 16),
             volume_shape=shape,
             num_classes=cfg.get("num_classes", 12),
+            context_shape=ctx_shape,
             seed=d.get("seed", 0),
         )
     if kind == "ruijin":

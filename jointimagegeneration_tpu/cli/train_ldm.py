@@ -55,8 +55,46 @@ def main(argv=None):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"stage-2 UNet params: {n_params/1e6:.2f}M, lr={lr:.2e}")
     # LitEma warmup decay semantics (ldm/modules/ema.py:33-35)
-    state = EMATrainState.create(params, tx, ema_decay=0.9999, ema_warmup=True)
+    state = EMATrainState.create(params, tx, ema_decay=0.9999, ema_warmup=True,
+                                 skip_nonfinite=True)
     step_fn = make_ldm_train_step(model)
+
+    # ImageLogger parity (main.py:419-449): periodic qualitative panels
+    # from SliceLDM.log_images (samples / denoise row / inpaint) + val loss
+    from ..diffusion.ddim import DDIMParams
+
+    val_ds = build_slice_dataset(cfg, "val")
+    log_ddim = DDIMParams.create(
+        model.diffusion, cfg.get("log_ddim_steps", 20), eta=cfg.get("ddim_eta", 0.0)
+    )
+
+    def eval_fn(state, step, logger):
+        n = min(len(val_ds), cfg.get("n_log_images", 2))
+        items = [val_ds[i] for i in range(n)]
+        batch = {
+            k: jnp.stack([jnp.asarray(it[k]) for it in items])
+            for k in items[0]
+            if not isinstance(items[0][k], str) and k in ("image", "cond")
+        }
+        panels = model.log_images(state.ema_params, jax.random.key(step), batch, log_ddim)
+        if logger:
+            from ..eval.writers import image_volume_to_grid
+
+            for name in ("inputs", "samples", "inpaint"):
+                logger.image(step, f"val/{name}", image_volume_to_grid(panels[name][..., 0]))
+            logger.image(
+                step, "val/denoise_row", image_volume_to_grid(panels["denoise_row"][:, 0, ..., 0])
+            )
+        # val loss on the logged batch (monitor val/loss_simple parity)
+        diff = model.diffusion
+        t = jnp.full((batch["image"].shape[0],), diff.num_timesteps // 2, jnp.int32)
+        noise = jax.random.normal(jax.random.key(step + 1), batch["image"].shape)
+        x_noisy = diff.q_sample(jnp.asarray(batch["image"]), t, noise)
+        eps = model.apply_model(state.ema_params, x_noisy, t, cond=batch.get("cond"))
+        val_loss = float(jnp.mean((eps - noise) ** 2))
+        if logger:
+            logger.scalars(step, {"loss_simple": val_loss}, prefix="val/")
+        return -val_loss  # higher-is-better score for best-checkpoint keeping
 
     with mesh:
         state = replicate(mesh, state)
@@ -70,7 +108,9 @@ def main(argv=None):
                 seed=cfg.get("seed", 0),
             ),
             state, step_fn, loader,
+            eval_fn=eval_fn if cfg.get("validate", True) else None,
             resume=bool(cfg.get("resume")),
+            run_config=cfg,
         )
         trainer.fit()
 

@@ -53,8 +53,15 @@ def main(argv=None):
         lr_params=opt_cfg.get("lr_params"),
         total_steps=total_steps,
         grad_clip=opt_cfg.get("grad_clip"),
+        lr_restarts=opt_cfg.get("lr_restarts"),
+        lr_restart_vals=opt_cfg.get("lr_restart_vals", 1.0),
     )
-    params = model.init_params(jax.random.key(cfg.get("seed", 0)), spatial, cond_channels=1)
+    ctx_shape = None
+    if model.refiner is not None:
+        ctx_shape = (cfg.get("dataset", {}).get("context_len", 4), model.refiner.embed_dim)
+    params = model.init_params(
+        jax.random.key(cfg.get("seed", 0)), spatial, cond_channels=1, context_shape=ctx_shape
+    )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"stage-1 UNet params: {n_params/1e6:.2f}M")
     state = EMATrainState.create(params, tx, ema_decay=cfg.get("polyak_alpha", 0.9999))
@@ -73,9 +80,10 @@ def main(argv=None):
         for i in range(n_eval):
             item = ds[i]
             gt = np.argmax(item["mask"], -1)
+            ctx = jnp.asarray(item["context"])[None] if "context" in item else None
             labels = model.sample_labels(
                 state.ema_params, jax.random.key(step + i), (1, *spatial),
-                cond=jnp.asarray(item["image"])[None],
+                cond=jnp.asarray(item["image"])[None], context=ctx,
                 num_steps=cfg.get("eval_time_steps", 50),
             )
             dices.append(np.asarray(per_class_dice(labels[0], jnp.asarray(gt), num_classes))[1:].mean())
@@ -102,6 +110,7 @@ def main(argv=None):
             state, step_fn, loader,
             eval_fn=eval_fn if cfg.get("validate", True) else None,
             resume=bool(cfg.get("load_from")),
+            run_config=cfg,
         )
         trainer.fit()
 

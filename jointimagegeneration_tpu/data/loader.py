@@ -12,8 +12,8 @@ semantics without a rank loop.
 
 from __future__ import annotations
 
-import queue
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -93,31 +93,29 @@ class DataLoader:
         return {k: put(v) for k, v in batch.items()}
 
     def __iter__(self) -> Iterator[dict]:
+        """Deterministic-order batches decoded by a `num_workers` thread
+        pool (host-side NIfTI decode parallelism — the torch DataLoader
+        num_workers semantics), with up to num_workers + prefetch batches
+        in flight so H2D overlaps the previous step's compute."""
         indices = self._epoch_indices()
         self.epoch += 1
         nb = len(indices) // self.batch_size if self.drop_last else -(-len(indices) // self.batch_size)
         batches = [indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        def load(bidx):
+            return _stack_batch([self.dataset[int(i)] for i in bidx])
 
-        def worker():
-            try:
-                for bidx in batches:
-                    if stop.is_set():
-                        return
-                    items = [self.dataset[int(i)] for i in bidx]
-                    q.put(_stack_batch(items))
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            futures = deque()
+            it = iter(batches)
+            for _ in range(self.num_workers + self.prefetch):
+                nxt = next(it, None)
+                if nxt is None:
                     break
+                futures.append(ex.submit(load, nxt))
+            while futures:
+                batch = futures.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    futures.append(ex.submit(load, nxt))
                 yield self._device_put(batch)
-        finally:
-            stop.set()

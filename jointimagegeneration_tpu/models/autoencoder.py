@@ -79,6 +79,11 @@ class AutoencoderKL(nn.Module):
         self.quant_conv = _conv(2 * self.embed_dim, 1, self.dims, name="quant_conv")
         self.post_quant_conv = _conv(self.z_channels, 1, self.dims, name="post_quant_conv")
 
+    @property
+    def downsample_factor(self) -> int:
+        """Spatial factor f between pixel and latent space (one 2x per level)."""
+        return 2 ** (len(self.ch_mult) - 1)
+
     def encode(self, x: jnp.ndarray, *, deterministic: bool = True) -> DiagonalGaussian:
         moments = self.quant_conv(self.encoder(x, deterministic=deterministic))
         return DiagonalGaussian.from_moments(moments)

@@ -31,15 +31,31 @@ __all__ = ["LatentSliceLDM"]
 
 @dataclass(frozen=True)
 class LatentSliceLDM:
-    """SliceLDM whose sample/loss space is the AE latent."""
+    """SliceLDM whose sample/loss space is the AE latent.
+
+    `cond_stage` is the separate 2-channel [prev-slice, mask-slice]
+    encoder of the reference `_ae` config
+    (ruijin-ldm_from_controlnet_ae.yaml:68-96: a second AutoencoderKL
+    whose latent concatenates with the image latent, UNet in_channels =
+    4 + 4); when None, conditions are assumed pre-encoded."""
 
     inner: SliceLDM
     first_stage: AutoencoderKL
+    cond_stage: Optional[AutoencoderKL] = None
     scale_factor: float = 1.0
 
     @classmethod
-    def create(cls, first_stage: AutoencoderKL, scale_factor: float = 1.0, **ldm_kwargs) -> "LatentSliceLDM":
-        return cls(inner=SliceLDM.create(**ldm_kwargs), first_stage=first_stage, scale_factor=scale_factor)
+    def create(
+        cls,
+        first_stage: AutoencoderKL,
+        cond_stage: Optional[AutoencoderKL] = None,
+        scale_factor: float = 1.0,
+        **ldm_kwargs,
+    ) -> "LatentSliceLDM":
+        return cls(
+            inner=SliceLDM.create(**ldm_kwargs), first_stage=first_stage,
+            cond_stage=cond_stage, scale_factor=scale_factor,
+        )
 
     @property
     def diffusion(self) -> GaussianDiffusion:
@@ -55,6 +71,37 @@ class LatentSliceLDM:
 
     def decode(self, ae_params, z: jnp.ndarray) -> jnp.ndarray:
         return self.first_stage.apply(ae_params, z / self.scale_factor, method=self.first_stage.decode)
+
+    def encode_cond(self, cond_ae_params, cond: jnp.ndarray) -> jnp.ndarray:
+        """Pixel-space condition -> cond latent via the cond-stage AE
+        (get_learned_conditioning with a first-stage cond encoder,
+        ddpm.py:556-568; NOT rescaled by scale_factor, which applies only
+        to the diffusion latent)."""
+        stage = self.cond_stage or self.first_stage
+        return stage.apply(cond_ae_params, cond, method=stage.encode).mode()
+
+    # -- tiled first stage (fold/unfold big-image inference) -----------------
+
+    def encode_tiled(self, ae_params, x: jnp.ndarray, patch: Tuple[int, int], stride: Tuple[int, int]) -> jnp.ndarray:
+        """Patch-tiled encode with border-weighted stitching in latent space
+        (ddpm.py:904-1005 fold/unfold routing, df = the AE downsample factor)."""
+        from ..ops.tiling import tiled_apply
+
+        f = self.first_stage.downsample_factor
+        fn = lambda tile: self.first_stage.apply(ae_params, tile, method=self.first_stage.encode).mode()
+        z = tiled_apply(fn, x, patch, stride, out_channels=self.first_stage.embed_dim, out_scale=1.0 / f)
+        return self.scale_factor * z
+
+    def decode_tiled(self, ae_params, z: jnp.ndarray, patch: Tuple[int, int], stride: Tuple[int, int]) -> jnp.ndarray:
+        """Patch-tiled decode (patch/stride given in LATENT pixels; uf = f)."""
+        from ..ops.tiling import tiled_apply
+
+        f = self.first_stage.downsample_factor
+        fn = lambda tile: self.first_stage.apply(ae_params, tile, method=self.first_stage.decode)
+        return tiled_apply(
+            fn, z / self.scale_factor, patch, stride,
+            out_channels=self.first_stage.out_ch, out_scale=float(f),
+        )
 
     def calibrate_scale_factor(self, ae_params, batch_x: jnp.ndarray) -> "LatentSliceLDM":
         """scale_by_std: scale_factor = 1/std of the encoded batch
@@ -89,3 +136,46 @@ class LatentSliceLDM:
         cond_z = self.encode(ae_params, cond, None) if encode_cond else cond
         z = self.inner.sample_slice(params, k2, cond_z, ddim, **kw)
         return self.decode(ae_params, z)
+
+    # -- autoregressive latent-path volume (the `_ae` capability) -------------
+
+    def sample_volume(
+        self,
+        params,
+        ae_params,
+        key: jax.Array,
+        mask_volume: jnp.ndarray,  # (B, D, H, W, 1) pixel-space mask channel
+        ddim: DDIMParams,
+        cond_ae_params=None,
+        context: Optional[jnp.ndarray] = None,
+        init_slice: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Latent-space equivalent of SliceLDM.sample_volume — the
+        reference's sample_cond drive with a first stage
+        (sample_diffusion.py:196-224 + ddpm.py:510-537): per z-slice the
+        PIXEL-space [prev generated slice, mask slice] pair is encoded by
+        the cond stage, the DDIM chain runs in latent space, the slice is
+        decoded by the first stage and min-max normalised
+        (sample_diffusion.py:221-222) before becoming the next condition.
+        Whole volume = one lax.scan program."""
+        b, d, h, w, _ = mask_volume.shape
+        if init_slice is None:
+            init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
+        if cond_ae_params is None:
+            cond_ae_params = ae_params
+
+        def body(carry, mask_slice):
+            prev, k = carry
+            k, sub = jax.random.split(k)
+            cond_pix = jnp.concatenate([prev, mask_slice], axis=-1)
+            cond_z = self.encode_cond(cond_ae_params, cond_pix)
+            z = self.inner.sample_slice(params, sub, cond_z, ddim, context=context)
+            s = self.decode(ae_params, z)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            s = (s - lo) / jnp.maximum(hi - lo, 1e-8)
+            return (s, k), s
+
+        mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)
+        (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
+        return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)

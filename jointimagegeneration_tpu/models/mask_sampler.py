@@ -31,9 +31,11 @@ from ..diffusion.categorical import (
     max_prob_one_hot,
     sample_one_hot,
 )
+from ..nn.text import TextFeatureRefiner
 from ..nn.unet import UNet
+from .common import unet_vars
 
-__all__ = ["MaskSampler"]
+__all__ = ["MaskSampler", "unet_vars"]
 
 
 def sampling_t_values(time_steps: int, num_steps: Optional[int] = None) -> np.ndarray:
@@ -53,6 +55,9 @@ class MaskSampler:
     diffusion: CategoricalDiffusion
     num_classes: int
     step_T_sample: str = "majority"  # 'majority' (argmax) | 'confidence' (sample)
+    # trainable text-feature refiner (PreloadedBERTEncoder equivalent); its
+    # params live under params['refiner'] and train/EMA with the UNet:
+    refiner: Optional[TextFeatureRefiner] = None
 
     @classmethod
     def create(
@@ -67,10 +72,12 @@ class MaskSampler:
         num_res_blocks: int = 2,
         num_head_channels: int = 32,
         context_dim: Optional[int] = None,
+        dims: int = 3,
         dtype=jnp.float32,
         step_T_sample: str = "majority",
         remat: bool = False,
         spatial_axis: Optional[str] = None,
+        text_refiner: Optional[dict] = None,
         **schedule_params,
     ) -> "MaskSampler":
         """Mirror of ccdm's build_model (models/builder.py:14-53):
@@ -81,7 +88,7 @@ class MaskSampler:
             num_res_blocks=num_res_blocks,
             attention_resolutions=tuple(attention_resolutions),
             channel_mult=tuple(channel_mult),
-            dims=3,
+            dims=dims,
             num_head_channels=num_head_channels,
             softmax_output=True,
             context_dim=context_dim,
@@ -90,20 +97,50 @@ class MaskSampler:
             spatial_axis=spatial_axis,
         )
         diffusion = CategoricalDiffusion.create(schedule, time_steps, num_classes, **schedule_params)
-        return cls(unet=unet, diffusion=diffusion, num_classes=num_classes, step_T_sample=step_T_sample)
+        refiner = None
+        if text_refiner is not None:
+            refiner = TextFeatureRefiner(
+                embed_dim=text_refiner.get("embed_dim", context_dim or 768),
+                n_heads=text_refiner.get("n_heads", 8),
+                depth=text_refiner.get("model_depth", 4),
+                d_head=text_refiner.get("d_head", 64),
+                dropout=text_refiner.get("dropout", 0.2),
+            )
+        return cls(
+            unet=unet, diffusion=diffusion, num_classes=num_classes,
+            step_T_sample=step_T_sample, refiner=refiner,
+        )
 
     # -- init ----------------------------------------------------------------
 
     def init_params(self, key: jax.Array, spatial: Sequence[int], cond_channels: int = 1, context_shape=None):
         x = jnp.zeros((1, *spatial, self.num_classes))
         cond = jnp.zeros((1, *spatial, cond_channels)) if cond_channels else None
+        if context_shape is None and self.refiner is not None:
+            context_shape = (4, self.refiner.embed_dim)
         ctx = None if context_shape is None else jnp.zeros((1, *context_shape))
         t = jnp.zeros((1,))
-        return self.unet.init(key, x, t, cond=cond, context=ctx)
+        uv = self.unet.init(key, x, t, cond=cond, context=ctx)
+        if self.refiner is None:
+            return uv
+        kr = jax.random.fold_in(key, 1)
+        return {"unet": uv, "refiner": self.refiner.init(kr, ctx)}
+
+    # -- trainable context refinement -----------------------------------------
+
+    def refine_context(self, params, context, *, rng: Optional[jax.Array] = None):
+        """Apply the trainable text refiner (trainer.py:287 `context =
+        feature_cond_encoder(context)`); dropout active when `rng` given."""
+        if self.refiner is None or context is None:
+            return context
+        rv = params["refiner"]
+        if rng is None:
+            return self.refiner.apply(rv, context)
+        return self.refiner.apply(rv, context, deterministic=False, rngs={"dropout": rng})
 
     # -- one denoise step (the benchmarked unit) ------------------------------
 
-    def denoise_step(self, params, key, xt, t, cond=None, context=None, guidance_fn=None):
+    def denoise_step(self, params, key, xt, t, cond=None, context=None, feature_cond=None, guidance_fn=None):
         """UNet x0-probs -> categorical posterior -> next x_{t-1} one-hot.
 
         `t` is a (B,)-int array in [1, T].  At t==1 the decode rule applies
@@ -111,7 +148,11 @@ class MaskSampler:
         diffusion_denoising.py:218-224.  `guidance_fn(probs) -> gradients`
         implements the reference's label-reference gradient guidance
         (probs <- probs - gradients, diffusion_denoising.py:211-214)."""
-        x0pred = self.unet.apply(params, xt, t.astype(jnp.float32), cond=cond, context=context)
+        context = self.refine_context(params, context)
+        x0pred = self.unet.apply(
+            unet_vars(params), xt, t.astype(jnp.float32),
+            cond=cond, context=context, feature_cond=feature_cond,
+        )
         probs = self.diffusion.theta_post_prob(xt, x0pred, t)
         if guidance_fn is not None:
             probs = probs - guidance_fn(probs)
@@ -133,6 +174,7 @@ class MaskSampler:
         shape: Sequence[int],
         cond: Optional[jnp.ndarray] = None,
         context: Optional[jnp.ndarray] = None,
+        feature_cond: Optional[dict] = None,
         num_steps: Optional[int] = None,
         x_init: Optional[jnp.ndarray] = None,
         guidance_fn=None,
@@ -152,7 +194,10 @@ class MaskSampler:
             xt, k = carry
             k, sub = jax.random.split(k)
             t_b = jnp.full((b,), t, jnp.int32)
-            xt = self.denoise_step(params, sub, xt, t_b, cond=cond, context=context, guidance_fn=guidance_fn)
+            xt = self.denoise_step(
+                params, sub, xt, t_b, cond=cond, context=context,
+                feature_cond=feature_cond, guidance_fn=guidance_fn,
+            )
             return (xt, k), None
 
         (x, _), _ = jax.lax.scan(body, (x_init, key), t_values)

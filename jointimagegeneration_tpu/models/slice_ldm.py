@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..diffusion.ddim import DDIMParams, ddim_step
 from ..diffusion.gaussian import GaussianDiffusion
 from ..nn.unet import UNet
+from .common import unet_vars
 
 __all__ = ["SliceLDM"]
 
@@ -82,17 +83,26 @@ class SliceLDM:
         )
         return cls(unet=unet, diffusion=diffusion, channels=image_channels, cond_channels=cond_channels)
 
-    def init_params(self, key: jax.Array, size: int, context_shape=None):
+    def init_params(
+        self, key: jax.Array, size: int, context_shape=None,
+        learn_logvar: bool = False, logvar_init: float = 0.0,
+    ):
+        """`learn_logvar` adds a per-timestep log-variance parameter
+        alongside the UNet tree (ddpm.py:111-115; joined to the optimizer
+        the reference way, ddpm.py:423)."""
         x = jnp.zeros((1, size, size, self.channels))
         cond = jnp.zeros((1, size, size, self.cond_channels))
         ctx = None if context_shape is None else jnp.zeros((1, *context_shape))
-        return self.unet.init(key, x, jnp.zeros((1,)), cond=cond, context=ctx)
+        uv = self.unet.init(key, x, jnp.zeros((1,)), cond=cond, context=ctx)
+        if not learn_logvar:
+            return uv
+        return {"unet": uv, "logvar": jnp.full((self.diffusion.num_timesteps,), logvar_init, jnp.float32)}
 
     # -- eps model -----------------------------------------------------------
 
     def apply_model(self, params, x, t, cond=None, context=None):
         """DiffusionWrapper 'concat' mode (ddpm.py:1408-1420)."""
-        return self.unet.apply(params, x, t.astype(jnp.float32), cond=cond, context=context)
+        return self.unet.apply(unet_vars(params), x, t.astype(jnp.float32), cond=cond, context=context)
 
     # -- single-slice DDIM sampling, scan-compiled -----------------------------
 

@@ -38,6 +38,16 @@ class UNet(nn.Module):
                    ddpm.py:1415-1420).
       * `context`— (B, T_ctx, C_ctx) sequence for cross-attention; used at
                    attention sites when `context_dim` is set.
+      * `y`      — (B,) class ids, 'adm' mode: a learned class embedding is
+                   added to the timestep embedding (openaimodel.py:516-517,
+                   737-741; ddpm.py:1428) when `adm_classes` is set.
+      * `feature_cond` — {encoder_block_idx: (B, *spatial_at_block, F)}
+                   dense extractor feature maps channel-concatenated in
+                   front of the indexed encoder block (the reference's
+                   DINO/ResNet feature conditioning, unet.py:485-507,
+                   785-803; idx 0 = the stem conv, each ResBlock(+attn) or
+                   down-transition advances the index by one, mirroring
+                   input_blocks enumeration).
     """
 
     model_channels: int
@@ -56,6 +66,8 @@ class UNet(nn.Module):
     # cross-attention (SequenceTransformer) instead of self-attn blocks:
     context_dim: Optional[int] = None
     transformer_depth: int = 1
+    # 'adm' class-conditioning: number of classes for the label embedding
+    adm_classes: Optional[int] = None
     # compute dtype for the torso (params always fp32):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
@@ -86,6 +98,8 @@ class UNet(nn.Module):
         timesteps: jnp.ndarray,
         cond: Optional[jnp.ndarray] = None,
         context: Optional[jnp.ndarray] = None,
+        y: Optional[jnp.ndarray] = None,
+        feature_cond: Optional[dict] = None,
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
@@ -93,7 +107,16 @@ class UNet(nn.Module):
         emb = timestep_embedding(timesteps, mc)
         emb = nn.Dense(mc * 4, param_dtype=jnp.float32, name="time_embed_0")(emb)
         emb = nn.Dense(mc * 4, param_dtype=jnp.float32, name="time_embed_1")(nn.silu(emb))
+        if self.adm_classes is not None:
+            assert y is not None, "adm_classes set but no class ids `y` given"
+            emb = emb + nn.Embed(self.adm_classes, mc * 4, param_dtype=jnp.float32, name="label_emb")(y)
         emb = emb.astype(self.dtype)
+
+        def inject(h, idx):
+            """feature-concat site before encoder block `idx`."""
+            if feature_cond is not None and idx in feature_cond:
+                h = jnp.concatenate([h, feature_cond[idx].astype(h.dtype)], axis=-1)
+            return h
 
         if cond is not None:
             x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
@@ -122,23 +145,29 @@ class UNet(nn.Module):
         Res = nn.remat(ResBlock, static_argnums=(3,)) if self.remat else ResBlock
 
         # --- encoder ------------------------------------------------------
+        h = inject(h, 0)
         h = _conv(mc * self.channel_mult[0], 3, self.dims, name="in_conv", dtype=self.dtype)(h)
         hs = [h]
         ds = 1
+        block_idx = 1  # mirrors input_blocks enumeration (unet.py:785)
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
+                h = inject(h, block_idx)
                 h = Res(int(mult * mc), **res_args, name=f"down_{level}_{i}_res")(h, emb, deterministic)
                 if ds in self.attention_resolutions:
                     h = self._attn(h.shape[-1], f"down_{level}_{i}_attn")(
                         *( (h, context) if self.context_dim is not None else (h,) )
                     )
                 hs.append(h)
+                block_idx += 1
             if level != len(self.channel_mult) - 1:
+                h = inject(h, block_idx)
                 if self.resblock_updown:
                     h = Res(h.shape[-1], **res_args, down=True, name=f"down_{level}_ds")(h, emb, deterministic)
                 else:
                     h = Downsample(self.dims, self.conv_resample, name=f"down_{level}_ds")(h)
                 hs.append(h)
+                block_idx += 1
                 ds *= 2
 
         # --- middle ---------------------------------------------------------

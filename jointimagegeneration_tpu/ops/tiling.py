@@ -50,31 +50,48 @@ def tiled_apply(
     patch: Tuple[int, int],
     stride: Tuple[int, int],
     out_channels: int | None = None,
+    out_scale: float = 1.0,
 ) -> jnp.ndarray:
-    """Apply `fn` ((B, ph, pw, C) -> (B, ph, pw, C')) over overlapping
-    windows; fold back with border weighting."""
+    """Apply `fn` ((B, ph, pw, C) -> (B, ph*s, pw*s, C')) over overlapping
+    windows; fold back with border weighting.
+
+    `out_scale` s handles resolution-changing fns — the reference's uf/df
+    rescale factors for tiled first-stage encode (s = 1/f) and decode
+    (s = f) (ddpm.py:728-876, 915-997).  Patch, stride and image size must
+    scale to integers."""
     b, h, w, c = x.shape
     ph, pw = patch
     oy = _offsets(h, ph, stride[0])
     ox = _offsets(w, pw, stride[1])
-    grid = jnp.asarray([(y, xo) for y in oy for xo in ox], jnp.int32)
-    weight = border_weighting((ph, pw))[None, :, :, None]
+
+    def scaled(v: int) -> int:
+        sv = v * out_scale
+        assert abs(sv - round(sv)) < 1e-9, f"{v} * out_scale={out_scale} is not an integer"
+        return int(round(sv))
+
+    pho, pwo = scaled(ph), scaled(pw)
+    ho, wo = scaled(h), scaled(w)
+    grid = jnp.asarray([(scaled(y), scaled(xo)) for y in oy for xo in ox], jnp.int32)
+    weight = border_weighting((pho, pwo))[None, :, :, None]
     c_out = out_channels or c
+    inv = 1.0 / out_scale
 
     def body(carry, off):
         acc, norm = carry
         y, xo = off[0], off[1]
-        tile = jax.lax.dynamic_slice(x, (0, y, xo, 0), (b, ph, pw, c))
+        yi = (y.astype(jnp.float32) * inv).astype(jnp.int32)
+        xi = (xo.astype(jnp.float32) * inv).astype(jnp.int32)
+        tile = jax.lax.dynamic_slice(x, (0, yi, xi, 0), (b, ph, pw, c))
         res = fn(tile).astype(jnp.float32) * weight
         acc = jax.lax.dynamic_update_slice(
-            acc, jax.lax.dynamic_slice(acc, (0, y, xo, 0), (b, ph, pw, c_out)) + res, (0, y, xo, 0)
+            acc, jax.lax.dynamic_slice(acc, (0, y, xo, 0), (b, pho, pwo, c_out)) + res, (0, y, xo, 0)
         )
         norm = jax.lax.dynamic_update_slice(
-            norm, jax.lax.dynamic_slice(norm, (0, y, xo, 0), (b, ph, pw, 1)) + weight, (0, y, xo, 0)
+            norm, jax.lax.dynamic_slice(norm, (0, y, xo, 0), (b, pho, pwo, 1)) + weight, (0, y, xo, 0)
         )
         return (acc, norm), None
 
-    acc0 = jnp.zeros((b, h, w, c_out), jnp.float32)
-    norm0 = jnp.zeros((b, h, w, 1), jnp.float32)
+    acc0 = jnp.zeros((b, ho, wo, c_out), jnp.float32)
+    norm0 = jnp.zeros((b, ho, wo, 1), jnp.float32)
     (acc, norm), _ = jax.lax.scan(body, (acc0, norm0), grid)
     return (acc / jnp.maximum(norm, 1e-8)).astype(x.dtype)

@@ -65,19 +65,41 @@ class GANTrainState:
         )
 
 
-def _last_layer_grad_norm(loss_fn: Callable, params, last_layer_path=("decoder", "conv_out", "kernel")):
-    """||∂loss/∂last_layer|| — the adaptive-weight denominators
-    (contperceptual.py:83-94) via grad wrt a single leaf."""
+_LAST_LAYER = ("params", "decoder", "conv_out", "kernel")
 
-    def pick(p):
-        node = p["params"]
-        for k in last_layer_path:
-            node = node[k]
-        return node
 
-    grads = jax.grad(loss_fn)(params)
-    g = pick(grads)
-    return jnp.linalg.norm(g.reshape(-1))
+def _get_leaf(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _replace_leaf(tree, path, val):
+    if not path:
+        return val
+    d = dict(tree)
+    d[path[0]] = _replace_leaf(tree[path[0]], path[1:], val)
+    return d
+
+
+def _adaptive_d_weight(heads_fn: Callable, g_params, disc_weight: float, last_layer=_LAST_LAYER):
+    """d_weight = ||∂nll/∂last_layer|| / ||∂adv/∂last_layer||, clipped to
+    [0, 1e4] and scaled (contperceptual.py:83-94).
+
+    The reference differentiates w.r.t. the LAST decoder layer only; doing
+    `jax.grad` over the whole generator and picking one leaf costs two full
+    backward passes.  Here `heads_fn(kernel) -> (nll, adv)` closes over the
+    rest of the params, so one forward + two SHORT pullbacks (loss -> conv_out)
+    suffice — reverse-mode stops where the graph stops depending on the leaf."""
+    kernel = _get_leaf(g_params, last_layer)
+    (nll_v, adv_v), pull = jax.vjp(heads_fn, kernel)
+    one = jnp.ones((), nll_v.dtype)
+    zero = jnp.zeros((), nll_v.dtype)
+    (nll_g,) = pull((one, zero))
+    (adv_g,) = pull((zero, one))
+    nll_n = jnp.linalg.norm(nll_g.reshape(-1))
+    adv_n = jnp.linalg.norm(adv_g.reshape(-1))
+    return jax.lax.stop_gradient(jnp.clip(nll_n / (adv_n + 1e-4), 0.0, 1e4) * disc_weight)
 
 
 def make_autoencoder_train_step(
@@ -127,13 +149,12 @@ def make_autoencoder_train_step(
                 logits_fake = discriminator.apply(state.d_params, rec)
             g_adv = -jnp.mean(logits_fake)
             if adaptive_d_weight:
-                nll_n = _last_layer_grad_norm(lambda p: rec_terms(p, k_sample, x)[1], g_params)
-                adv_n = _last_layer_grad_norm(
-                    lambda p: -jnp.mean(discriminator.apply(state.d_params, model.apply(p, x, k_sample)[0])),
-                    g_params,
-                )
-                d_weight = jnp.clip(nll_n / (adv_n + 1e-4), 0.0, 1e4) * disc_weight
-                d_weight = jax.lax.stop_gradient(d_weight)
+                def heads(kernel):
+                    p = _replace_leaf(g_params, _LAST_LAYER, kernel)
+                    rec2, nll2, _ = rec_terms(p, k_sample, x)
+                    return nll2, -jnp.mean(discriminator.apply(state.d_params, rec2))
+
+                d_weight = _adaptive_d_weight(heads, g_params, disc_weight)
             else:
                 d_weight = disc_weight
             loss = nll + kl_weight * kl + d_weight * disc_factor * g_adv
@@ -195,11 +216,13 @@ def make_vq_train_step(
         def g_loss_fn(g_params):
             rec, nll, qloss = rec_terms(g_params, x)
             g_adv = -jnp.mean(discriminator.apply(state.d_params, rec))
-            nll_n = _last_layer_grad_norm(lambda p: rec_terms(p, x)[1], g_params)
-            adv_n = _last_layer_grad_norm(
-                lambda p: -jnp.mean(discriminator.apply(state.d_params, model.apply(p, x)[0])), g_params
-            )
-            d_w = jax.lax.stop_gradient(jnp.clip(nll_n / (adv_n + 1e-4), 0.0, 1e4) * disc_weight)
+
+            def heads(kernel):
+                p = _replace_leaf(g_params, _LAST_LAYER, kernel)
+                rec2, nll2, _ = rec_terms(p, x)
+                return nll2, -jnp.mean(discriminator.apply(state.d_params, rec2))
+
+            d_w = _adaptive_d_weight(heads, g_params, disc_weight)
             loss = nll + codebook_weight * qloss + d_w * disc_factor * g_adv
             return loss, {"nll": nll, "qloss": qloss, "g_adv": g_adv, "d_weight": d_w, "rec": rec}
 

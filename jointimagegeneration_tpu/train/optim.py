@@ -24,17 +24,87 @@ import optax
 __all__ = ["build_lr_schedule", "build_optimizer"]
 
 
+def _restart_schedule(
+    lr_function: str,
+    base_lr: float,
+    total_steps: int,
+    p: dict,
+    lr_restarts: Sequence[int],
+    lr_restart_vals,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Warm-restart machinery (ccdm lr_functions.py:16-79): the step range
+    is split at `lr_restarts` into segments; segment i starts from a base
+    multiplier (restart_vals**i for a scalar, or [1, *list]) and runs the
+    shape function over (steps_since_restart, steps_in_segment)."""
+    import numpy as np
+
+    bounds = [0] + sorted(int(r) for r in lr_restarts) + [int(total_steps)]
+    n_seg = len(bounds) - 1
+    if isinstance(lr_restart_vals, (int, float)):
+        seg_vals = [float(lr_restart_vals) ** i for i in range(n_seg)]
+    else:
+        assert len(lr_restart_vals) == n_seg - 1, "lr_restart_vals list must have len(lr_restarts) entries"
+        seg_vals = [1.0] + [float(v) for v in lr_restart_vals]
+    starts = jnp.asarray(np.asarray(bounds[:-1], np.float32))
+    lengths = jnp.asarray(np.asarray(bounds[1:], np.float32) - np.asarray(bounds[:-1], np.float32))
+    vals = jnp.asarray(np.asarray(seg_vals, np.float32))
+
+    power = p.get("power", 1.0)
+    min_lr = p.get("min_lr", 0.0)
+    gamma = p.get("gamma", 0.98)
+
+    def sched(step):
+        s = step.astype(jnp.float32)
+        seg = jnp.clip(jnp.searchsorted(starts, s, side="right") - 1, 0, n_seg - 1)
+        since = s - starts[seg]
+        length = lengths[seg]
+        base_val = vals[seg]
+        if lr_function == "static":
+            shape = 1.0
+        elif lr_function == "exponential":
+            shape = gamma**since
+        elif lr_function == "polynomial":
+            coeff = (1.0 - jnp.minimum(since, length - 1) / (length - 1)) ** power
+            shape = (1.0 - min_lr / base_lr) * coeff + min_lr / base_lr
+        elif lr_function == "cosine":
+            shape = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.minimum(since, length) / length))
+        else:
+            raise ValueError(f"lr_function {lr_function!r} does not support restarts")
+        return base_lr * base_val * shape
+
+    return sched
+
+
 def build_lr_schedule(
     lr_function: Optional[str],
     base_lr: float,
     total_steps: int,
     lr_params: Optional[dict] = None,
+    lr_restarts: Optional[Sequence[int]] = None,
+    lr_restart_vals=1.0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Returns schedule(step) -> absolute lr."""
     p = dict(lr_params or {})
 
+    if lr_restarts:
+        return _restart_schedule(lr_function or "static", base_lr, total_steps, p, lr_restarts, lr_restart_vals)
+
     if lr_function is None or lr_function == "static":
         return lambda step: jnp.asarray(base_lr)
+
+    if lr_function == "piecewise_static":
+        # lr = base_lr * multiplier of the first phase whose end >= step
+        # (ccdm lr_functions.py:45-62, 102-107); steps past the last phase
+        # keep the last multiplier.
+        schedule = p["piecewise_static_schedule"]  # [[phase_end, mult], ...]
+        ends = jnp.asarray([float(e) for e, _ in schedule])
+        mults = jnp.asarray([float(m) for _, m in schedule])
+
+        def sched(step):
+            i = jnp.clip(jnp.searchsorted(ends, step.astype(jnp.float32), side="left"), 0, len(schedule) - 1)
+            return base_lr * mults[i]
+
+        return sched
 
     if lr_function == "exponential":
         gamma = p.get("gamma", 0.98)
@@ -102,10 +172,12 @@ def build_optimizer(
     momentum: float = 0.9,
     grad_clip: Optional[float] = None,
     accumulate_steps: int = 1,
+    lr_restarts: Optional[Sequence[int]] = None,
+    lr_restart_vals=1.0,
 ) -> optax.GradientTransformation:
     """optax mirror of ccdm build_optimizer defaults (optimizer.py:27-39):
     SGD wd=5e-4 momentum=.9; Adam plain; AdamW wd=0.01."""
-    sched = build_lr_schedule(lr_function, learning_rate, total_steps, lr_params)
+    sched = build_lr_schedule(lr_function, learning_rate, total_steps, lr_params, lr_restarts, lr_restart_vals)
     if name == "SGD":
         wd = 0.0005 if weight_decay is None else weight_decay
         tx = optax.chain(

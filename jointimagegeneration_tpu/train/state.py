@@ -30,20 +30,35 @@ class EMATrainState:
     params: Any
     opt_state: Any
     ema_params: Any
+    nonfinite_count: jnp.ndarray
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     ema_decay: float = struct.field(pytree_node=False, default=0.9999)
     ema_warmup: bool = struct.field(pytree_node=False, default=False)
+    # skip-update on non-finite grads (optax.apply_if_finite semantics): the
+    # state is NEVER poisoned by a NaN/inf gradient, so the engine's debug
+    # dump is always a restorable pre-NaN checkpoint (the reference instead
+    # guards every step on the host before stepping, ccdm trainer.py:388-407).
+    skip_nonfinite: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation, ema_decay: float = 0.9999, ema_warmup: bool = False):
+    def create(
+        cls,
+        params,
+        tx: optax.GradientTransformation,
+        ema_decay: float = 0.9999,
+        ema_warmup: bool = False,
+        skip_nonfinite: bool = True,
+    ):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             ema_params=jax.tree.map(jnp.copy, params),
+            nonfinite_count=jnp.zeros((), jnp.int32),
             tx=tx,
             ema_decay=ema_decay,
             ema_warmup=ema_warmup,
+            skip_nonfinite=skip_nonfinite,
         )
 
     def apply_gradients(self, grads):
@@ -56,4 +71,17 @@ class EMATrainState:
         else:
             decay = self.ema_decay
         new_ema = ema_update(self.ema_params, new_params, decay)
-        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt, ema_params=new_ema)
+        nonfinite = self.nonfinite_count
+        if self.skip_nonfinite:
+            finite = jnp.all(
+                jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+            )
+            keep = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+            new_params = keep(new_params, self.params)
+            new_opt = keep(new_opt, self.opt_state)
+            new_ema = keep(new_ema, self.ema_params)
+            nonfinite = nonfinite + jnp.where(finite, 0, 1)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt,
+            ema_params=new_ema, nonfinite_count=nonfinite,
+        )

@@ -18,7 +18,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.mask_sampler import MaskSampler
+from ..models.mask_sampler import MaskSampler, unet_vars
 from ..models.slice_ldm import SliceLDM
 from .losses import categorical_diffusion_loss, gaussian_diffusion_loss, sample_train_timesteps
 from .state import EMATrainState
@@ -29,25 +29,39 @@ __all__ = ["make_mask_train_step", "make_ldm_train_step"]
 def make_mask_train_step(
     model: MaskSampler,
     class_weights: Optional[jnp.ndarray] = None,
+    feature_inject_idx: Optional[int] = None,
 ) -> Callable:
     """Stage-1 step (trainer.py:271-339): t ~ t^1.5, x_t ~ q(x_t|x0),
-    UNet x0-probs, KL+CE loss, EMA update."""
+    UNet x0-probs, KL+CE loss, EMA update.
+
+    `feature_inject_idx` routes a per-batch dense extractor feature map
+    (batch['feature_cond'], e.g. frozen-DINO keys precomputed once per
+    batch rather than per diffusion step) into the UNet's feature-concat
+    site at that encoder block (unet.py:785-803)."""
 
     diff = model.diffusion
 
-    def loss_fn(params, key, x0, cond, context):
+    def loss_fn(params, key, x0, cond, context, feature):
         b = x0.shape[0]
-        kt, kx = jax.random.split(key)
+        kt, kx, kd = jax.random.split(key, 3)
         t = sample_train_timesteps(kt, b, diff.time_steps)
         xt = diff.sample_q_xt_given_x0(kx, x0, t)
-        x0pred = model.unet.apply(params, xt, t.astype(jnp.float32), cond=cond, context=context)
+        # trainable text refiner applied INSIDE the loss so its params get
+        # gradients and EMA alongside the UNet (trainer.py:287, 850-852)
+        context = model.refine_context(params, context, rng=kd)
+        fc = None if feature is None else {feature_inject_idx: feature}
+        x0pred = model.unet.apply(
+            unet_vars(params), xt, t.astype(jnp.float32),
+            cond=cond, context=context, feature_cond=fc,
+        )
         post_true = diff.theta_post(xt, x0, t)
         post_pred = diff.theta_post_prob(xt, x0pred, t)
         return categorical_diffusion_loss(post_true, post_pred, x0, x0pred, class_weights)
 
     def step(state: EMATrainState, batch: dict, key: jax.Array):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, batch["mask"], batch.get("image"), batch.get("context")
+            state.params, key, batch["mask"], batch.get("image"), batch.get("context"),
+            batch.get("feature_cond") if feature_inject_idx is not None else None,
         )
         state = state.apply_gradients(grads)
         metrics["grad_finite"] = jnp.all(
@@ -65,7 +79,11 @@ def make_ldm_train_step(
     elbo_weight: float = 0.0,
 ) -> Callable:
     """Stage-2 step (ddpm.py:1025-1056 via shared_step): t ~ U[0,T),
-    eps-MSE with lvlb bookkeeping, LitEma-style warmup EMA in the state."""
+    eps-MSE with lvlb bookkeeping, LitEma-style warmup EMA in the state.
+
+    When the state's params carry a 'logvar' leaf (init_params(...,
+    learn_logvar=True)), the loss divides by exp(logvar[t]) and the
+    parameter trains with the UNet (ddpm.py:111-115, 1040-1049, 423)."""
 
     diff = model.diffusion
 
@@ -77,9 +95,10 @@ def make_ldm_train_step(
         x_noisy = diff.q_sample(x0, t, noise)
         model_out = model.apply_model(params, x_noisy, t, cond=cond, context=context)
         target = noise if diff.parameterization == "eps" else x0
+        logvar = params.get("logvar") if isinstance(params, dict) and "logvar" in params else None
         return gaussian_diffusion_loss(
             model_out, target, t, diff.lvlb_weights, loss_type,
-            l_simple_weight=l_simple_weight, elbo_weight=elbo_weight,
+            logvar=logvar, l_simple_weight=l_simple_weight, elbo_weight=elbo_weight,
         )
 
     def step(state: EMATrainState, batch: dict, key: jax.Array):
@@ -87,6 +106,9 @@ def make_ldm_train_step(
             state.params, key, batch["image"], batch.get("cond"), batch.get("context")
         )
         state = state.apply_gradients(grads)
+        metrics["grad_finite"] = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
         return state, metrics
 
     return step

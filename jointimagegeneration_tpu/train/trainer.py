@@ -56,6 +56,7 @@ class Trainer:
         train_loader,
         eval_fn: Optional[Callable] = None,  # (state, step, logger) -> score
         resume: bool = False,
+        run_config: Optional[dict] = None,
     ):
         self.cfg = config
         self.state = state
@@ -75,6 +76,15 @@ class Trainer:
                 archive_code(config.logdir)
             except Exception:
                 pass
+            if run_config is not None:
+                # merged run-config dump at startup (SetupCallback writes
+                # project/lightning configs to the logdir, main.py:286-335)
+                import yaml
+
+                cfg_dir = Path(config.logdir) / "configs"
+                cfg_dir.mkdir(parents=True, exist_ok=True)
+                with open(cfg_dir / "run-config.yaml", "w") as f:
+                    yaml.safe_dump(run_config, f, default_flow_style=False, sort_keys=False)
         # SIGUSR1 -> checkpoint now (latentdiffusion/main.py:784-795 melk)
         self._usr1 = False
         try:
@@ -105,10 +115,17 @@ class Trainer:
 
                     if step % cfg.log_every == 0:
                         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                        if not np.isfinite(metrics.get("loss", 0.0)):
-                            # debug-state dump before raising (trainer.py:388-407)
+                        skipped = float(getattr(self.state, "nonfinite_count", 0))
+                        metrics["nonfinite_skipped"] = skipped
+                        if not np.isfinite(metrics.get("loss", 0.0)) or skipped > 0:
+                            # Non-finite grads are skip-updated in-device
+                            # (EMATrainState.apply_gradients), so params here
+                            # are still the last-good pre-NaN state; dump a
+                            # restorable debug checkpoint then halt
+                            # (reference per-step guard, trainer.py:388-407).
                             self.ckpt.save(step, jax.device_get(self.state))
-                            raise FloatingPointError(f"non-finite loss at step {step}: {metrics}")
+                            self.ckpt.wait()
+                            raise FloatingPointError(f"non-finite loss/grads at step {step}: {metrics}")
                         metrics["imgs_per_sec"] = tput.rate()
                         metrics.update(hbm_stats())
                         self._log(step, metrics)

@@ -16,7 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly @pytest.mark.slow is part of the fast core,
+    so `pytest -m fast` runs the quick math/shape/sampler tests (<60s) and
+    `pytest -m slow` the integration tier."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

@@ -7,6 +7,8 @@ import pytest
 
 from jointimagegeneration_tpu.ops.pallas.conv3d import conv3d_3x3
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 
 def _ref(x, k):
     return jax.lax.conv_general_dilated(

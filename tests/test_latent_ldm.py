@@ -8,6 +8,8 @@ from jointimagegeneration_tpu.models import SliceLDM
 from jointimagegeneration_tpu.models.autoencoder import AutoencoderKL
 from jointimagegeneration_tpu.models.latent_ldm import LatentSliceLDM
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def setup():

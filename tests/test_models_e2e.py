@@ -10,6 +10,8 @@ from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
 from jointimagegeneration_tpu.models import MaskSampler, SliceLDM
 from jointimagegeneration_tpu.pipeline import TwoStagePipeline, upsample_labels
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def tiny_mask_sampler():

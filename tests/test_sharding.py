@@ -48,6 +48,7 @@ def test_replicated_train_step_psum_equivalence():
     np.testing.assert_allclose(np.asarray(g_single), np.asarray(g_sharded), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -56,6 +57,7 @@ def test_dryrun_multichip_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_batch_sampling_matches_unsharded():
     """Milestone config #5: batched multi-volume sampling sharded over the
     mesh must produce bit-identical volumes to the unsharded program."""
@@ -78,6 +80,7 @@ def test_sharded_batch_sampling_matches_unsharded():
     np.testing.assert_array_equal(ref, out)
 
 
+@pytest.mark.slow
 def test_spatial_sharding_unet_matches_unsharded():
     """Spatial ('model'-axis) sharding of UNet activations: XLA's SPMD conv
     partitioner must reproduce the unsharded result exactly."""
@@ -101,6 +104,7 @@ def test_spatial_sharding_unet_matches_unsharded():
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spatially_sharded_slice_sampling_matches():
     """Stage-2 DDIM slice chain with activations sharded over 'model':
     the north-star deployment shape (one volume, 8-way sharded UNet)."""

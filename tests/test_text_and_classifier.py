@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +39,7 @@ def test_identity_encoder():
     assert enc(x) is x and enc.encode(x) is x
 
 
+@pytest.mark.slow
 def test_noisy_latent_classifier_trains():
     diff = GaussianDiffusion.create("linear", 50)
     clf = NoisyLatentClassifier.create(num_classes=3, diffusion=diff, model_channels=8, channel_mult=(1, 2))

@@ -8,6 +8,8 @@ from jointimagegeneration_tpu.train import EMATrainState, build_optimizer, make_
 from jointimagegeneration_tpu.train.losses import sample_train_timesteps
 from jointimagegeneration_tpu.train.optim import build_lr_schedule
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 
 def test_lr_polynomial_matches_reference_semantics():
     # ccdm params.yml: polynomial power 1.0, min_lr 1e-6, base 1e-3

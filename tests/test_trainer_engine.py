@@ -12,6 +12,8 @@ from jointimagegeneration_tpu.models import MaskSampler
 from jointimagegeneration_tpu.train import EMATrainState, build_optimizer, make_mask_train_step
 from jointimagegeneration_tpu.train.trainer import Trainer, TrainerConfig
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 
 @pytest.fixture()
 def setup(tmp_path):

@@ -5,6 +5,8 @@ import pytest
 
 from jointimagegeneration_tpu.nn import UNet
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 
 def _init_and_apply(model, x, t, **kw):
     params = model.init(jax.random.key(0), x, t, **kw)

@@ -10,6 +10,8 @@ from jointimagegeneration_tpu.nn.discriminators import PatchDiscriminator
 from jointimagegeneration_tpu.train import build_optimizer
 from jointimagegeneration_tpu.train.gan import GANTrainState, hinge_d_loss, make_autoencoder_train_step, vanilla_d_loss
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def tiny_ae():

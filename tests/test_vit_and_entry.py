@@ -1,8 +1,10 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow
 def test_vit_extractor_feature_geometry():
     from jointimagegeneration_tpu.nn.vit import ViTExtractor
 
@@ -18,6 +20,7 @@ def test_vit_extractor_feature_geometry():
     assert feats[0].shape == (1, 6, 6, 32)
 
 
+@pytest.mark.slow
 def test_graft_entry_single_chip():
     import sys
 
@@ -31,6 +34,7 @@ def test_graft_entry_single_chip():
     assert lowered is not None
 
 
+@pytest.mark.slow
 def test_unet_inside_tiled_apply():
     """fold/unfold parity demo: run a small UNet over tiles of a larger
     image through tiled_apply (the reference's big-image mechanism)."""
