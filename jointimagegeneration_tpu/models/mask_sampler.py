@@ -78,6 +78,7 @@ class MaskSampler:
         remat: bool = False,
         spatial_axis: Optional[str] = None,
         text_refiner: Optional[dict] = None,
+        use_fused_resblock: bool = False,
         **schedule_params,
     ) -> "MaskSampler":
         """Mirror of ccdm's build_model (models/builder.py:14-53):
@@ -95,6 +96,7 @@ class MaskSampler:
             dtype=dtype,
             remat=remat,
             spatial_axis=spatial_axis,
+            use_fused_resblock=use_fused_resblock,
         )
         diffusion = CategoricalDiffusion.create(schedule, time_steps, num_classes, **schedule_params)
         refiner = None

@@ -83,39 +83,37 @@ def _conv(features: int, kernel: int, dims: int, strides: int = 1, zero_init: bo
     )
 
 
-class PallasConv3d(nn.Module):
-    """3x3x3 conv through the Pallas kernel (ops/pallas/conv3d.py), with
-    the same param structure as nn.Conv ('kernel' DHWIO + 'bias') so
-    checkpoints interoperate with the XLA path."""
-
-    features: int
-    zero_init: bool = False
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.pallas.conv3d import conv3d_3x3_v2, _xla_conv3d
-
-        cin = x.shape[-1]
-        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
-        kernel = self.param("kernel", init, (3, 3, 3, cin, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        dt = self.dtype or x.dtype
-        # route ONLY the measured-win shape (BENCH_NOTES): Cin==128 at large
-        # spatial extents. Cin=256 skip-concat tiles and small extents regress.
-        if cin == 128 and x.shape[2] >= 64 and x.shape[2] % 8 == 0:
-            y = conv3d_3x3_v2(x.astype(dt), kernel.astype(dt), 8, False)
-        else:
-            y = _xla_conv3d(x.astype(dt), kernel.astype(dt))
-        return y + bias.astype(y.dtype)
+_CONV_DIMNUMS = {1: ("NWC", "WIO", "NWC"), 2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 
 
-def _conv3(features: int, dims: int, *, zero_init: bool = False, dtype=None, pallas: bool = False, name=None):
-    """3x3(x3) 'SAME' conv; Pallas kernel when requested (3D, inference-grade
-    and trainable via its custom VJP)."""
-    if pallas and dims == 3:
-        return PallasConv3d(features, zero_init=zero_init, dtype=dtype, name=name)
-    return _conv(features, 3, dims, zero_init=zero_init, dtype=dtype, name=name)
+def _raw_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray], dims: int,
+              *, pallas: bool = False) -> jnp.ndarray:
+    """'SAME' conv from explicit (spatial..., Cin, Cout) kernel params; compute
+    dtype follows x, params cast per-op (same policy as `_conv`)."""
+    k = kernel.shape[0]
+    if pallas and dims == 3 and k == 3 and x.shape[-1] == 128 and x.shape[2] >= 64 and x.shape[2] % 8 == 0:
+        # legacy per-conv Pallas routing at its measured-win shape (BENCH_NOTES)
+        from ..ops.pallas.conv3d import conv3d_3x3_v2
+
+        y = conv3d_3x3_v2(x, kernel.astype(x.dtype), 8, False)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1,) * dims, [(k // 2, k // 2)] * dims,
+            dimension_numbers=_CONV_DIMNUMS[dims], preferred_element_type=x.dtype,
+        )
+    return y if bias is None else y + bias.astype(y.dtype)
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, groups: int,
+               eps: float = 1e-6) -> jnp.ndarray:
+    """Per-sample GroupNorm in fp32, cast back (reference GroupNorm32,
+    unet_openai/nn.py:17-19); identical math to flax nn.GroupNorm."""
+    b, c = x.shape[0], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    return (xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _nearest_up2(x: jnp.ndarray, dims: int) -> jnp.ndarray:
@@ -159,7 +157,16 @@ class ResBlock(nn.Module):
     """GN→SiLU→conv, +timestep-emb (add or FiLM scale-shift), GN→SiLU→drop→zero-conv,
     with learned skip projection on channel change (unet.py:149-262).
 
-    `up`/`down` fold the resampling inside the block (resblock_updown mode)."""
+    `up`/`down` fold the resampling inside the block (resblock_updown mode).
+
+    Params are declared flat (norm scales/biases + conv kernels) so the
+    `fused` path can fold each GroupNorm into a per-channel affine and run
+    half the block per Pallas call (ops/pallas/fused_resblock.py): the
+    GN+SiLU prologue, im2col conv, emb/bias add, and skip add never make
+    separate HBM round trips, and the per-channel moments the kernel
+    accumulates while writing conv1's output provide GN2's statistics for
+    free.  `fused` applies on 3D, no up/down, batch 1, inference-dropout;
+    everything else falls back to the identical-math XLA path."""
 
     out_channels: int
     dims: int
@@ -168,11 +175,67 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     pallas_conv: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
+        out_ch = self.out_channels
+        g1 = math.gcd(in_ch, 32)
+        g2 = math.gcd(out_ch, 32)
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        lecun = nn.initializers.lecun_normal()
+        kshape = (3,) * self.dims
+
+        n1s = self.param("norm1_scale", ones, (in_ch,), jnp.float32)
+        n1b = self.param("norm1_bias", zeros, (in_ch,), jnp.float32)
+        k1 = self.param("conv1_kernel", lecun, kshape + (in_ch, out_ch), jnp.float32)
+        b1 = self.param("conv1_bias", zeros, (out_ch,), jnp.float32)
+        emb_features = 2 * out_ch if self.use_scale_shift_norm else out_ch
+        ek = self.param("emb_kernel", lecun, (emb.shape[-1], emb_features), jnp.float32)
+        eb = self.param("emb_bias", zeros, (emb_features,), jnp.float32)
+        n2s = self.param("norm2_scale", ones, (out_ch,), jnp.float32)
+        n2b = self.param("norm2_bias", zeros, (out_ch,), jnp.float32)
+        k2 = self.param("conv2_kernel", zeros, kshape + (out_ch, out_ch), jnp.float32)
+        b2 = self.param("conv2_bias", zeros, (out_ch,), jnp.float32)
+        if in_ch != out_ch:
+            ks = self.param("skip_kernel", lecun, (1,) * self.dims + (in_ch, out_ch), jnp.float32)
+            kb = self.param("skip_bias", zeros, (out_ch,), jnp.float32)
+
+        emb_out = (nn.silu(emb.astype(jnp.float32)) @ ek + eb)  # (B, emb_features) fp32
+
+        can_fuse = (
+            self.fused
+            and self.dims == 3
+            and not (self.up or self.down)
+            and x.shape[0] == 1
+            and (self.dropout == 0 or deterministic)
+            and x.shape[2] % 8 == 0
+        )
+        if can_fuse:
+            from ..ops.pallas.fused_resblock import (
+                fused_affine_silu_conv3d, gn_affine_from_moments, group_moments,
+                moments_from_channel_sums,
+            )
+
+            d, hh, ww = x.shape[1:4]
+            mean1, var1 = group_moments(x, g1)
+            a1, s1 = gn_affine_from_moments(mean1, var1, n1s, n1b, g1, eps=1e-6)
+            if self.use_scale_shift_norm:
+                film_scale, film_shift = jnp.split(emb_out[0], 2)
+                bias1 = b1
+            else:
+                bias1 = b1 + emb_out[0]
+            y1, st = fused_affine_silu_conv3d(x, k1, a1, s1, bias1, None, True, 8)
+            mean2, var2 = moments_from_channel_sums(st, d * hh * ww, g2)
+            a2, s2 = gn_affine_from_moments(mean2, var2, n2s, n2b, g2, eps=1e-6)
+            if self.use_scale_shift_norm:
+                a2 = a2 * (1 + film_scale)
+                s2 = s2 * (1 + film_scale) + film_shift
+            residual = x if in_ch == out_ch else _raw_conv(x, ks, kb, self.dims)
+            return fused_affine_silu_conv3d(y1, k2, a2, s2, b2, residual, False, 8)
+
+        h = group_norm(x, n1s, n1b, g1)
         h = nn.silu(h)
         if self.up:
             h = _nearest_up2(h, self.dims)
@@ -181,29 +244,22 @@ class ResBlock(nn.Module):
             window = (2,) * self.dims
             h = nn.avg_pool(h, window, window)
             x = nn.avg_pool(x, window, window)
-        h = _conv3(self.out_channels, self.dims, dtype=h.dtype, pallas=self.pallas_conv, name="in_conv")(h)
+        h = _raw_conv(h, k1, b1, self.dims, pallas=self.pallas_conv)
 
-        emb_out = nn.Dense(
-            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
-            param_dtype=jnp.float32,
-            dtype=h.dtype,
-            name="emb_proj",
-        )(nn.silu(emb)).astype(h.dtype)
-        emb_out = emb_out.reshape(emb_out.shape[:1] + (1,) * self.dims + emb_out.shape[1:])
-
+        eo = emb_out.astype(h.dtype).reshape(emb_out.shape[:1] + (1,) * self.dims + emb_out.shape[1:])
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            scale, shift = jnp.split(eo, 2, axis=-1)
+            h = group_norm(h, n2s, n2b, g2) * (1 + scale) + shift
         else:
-            h = GroupNorm32(name="out_norm")(h + emb_out)
+            h = group_norm(h + eo, n2s, n2b, g2)
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = _conv3(self.out_channels, self.dims, zero_init=True, dtype=h.dtype, pallas=self.pallas_conv, name="out_conv")(h)
+        h = _raw_conv(h, k2, b2, self.dims, pallas=self.pallas_conv)
 
-        if in_ch != self.out_channels:
-            x = _conv(self.out_channels, 1, self.dims, name="skip", dtype=x.dtype)(x)
-        return x + h
+        if in_ch != out_ch:
+            x = _raw_conv(x, ks, kb, self.dims)
+        return (x + h).astype(h.dtype)
 
 
 class AttentionBlock(nn.Module):

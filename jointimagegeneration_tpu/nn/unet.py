@@ -77,6 +77,9 @@ class UNet(nn.Module):
     spatial_axis: Optional[str] = None
     # route 3^3 convs through the Pallas im2col kernel (ops/pallas/conv3d.py)
     use_pallas_conv: bool = False
+    # fuse ResBlocks into Pallas affine+SiLU+conv pairs (ops/pallas/
+    # fused_resblock.py) — the production 3D path on TPU
+    use_fused_resblock: bool = False
 
     def _attn(self, ch: int, name: str):
         if self.num_head_channels == -1:
@@ -139,6 +142,7 @@ class UNet(nn.Module):
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             pallas_conv=self.use_pallas_conv and self.dims == 3,
+            fused=self.use_fused_resblock and self.dims == 3,
         )
         # rematerialise each ResBlock under grad (reference: per-block
         # CheckpointFunction, unet_openai/nn.py:124-170)

@@ -59,3 +59,26 @@ def test_flash_rejects_ragged():
     q = jnp.zeros((1, 1, 100, 16))
     with pytest.raises(ValueError):
         flash_attention(q, q, q, block_q=64, block_k=64)
+
+
+def test_flash_backward_kernels_multiblock():
+    """dq/dk/dv Pallas kernels across multiple q and k blocks, Tq != Tk."""
+    import numpy as np
+
+    b, h, tq, tk, d = 1, 2, 256, 128, 32
+    q = jax.random.normal(jax.random.key(10), (b, h, tq, d))
+    k = jax.random.normal(jax.random.key(11), (b, h, tk, d))
+    v = jax.random.normal(jax.random.key(12), (b, h, tk, d))
+    g = jax.random.normal(jax.random.key(13), (b, h, tq, d))
+
+    def ref(q, k, v):
+        import math
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d)
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+    f_fl = lambda q, k, v: jnp.vdot(flash_attention(q, k, v, block_q=64, block_k=64), g)
+    f_rf = lambda q, k, v: jnp.vdot(ref(q, k, v), g)
+    g1 = jax.grad(f_fl, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_rf, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-4, rtol=2e-4)
