@@ -68,29 +68,53 @@ class LPIPS:
             self._load_torch_weights(weights_path)
 
     def _load_torch_weights(self, path: str) -> None:
+        """Load calibrated weights from either a combined .npz produced by
+        scripts/convert_lpips_weights.py, or directly from torch-format
+        checkpoints: torchvision VGG16 (`features.<i>.weight/bias`, where
+        <i> indexes the nn.Sequential INCLUDING ReLU/pool slots — convs are
+        at 0,2,5,7,10,... so they must be taken in sorted order, not by
+        index value) and/or LPIPS/taming layout (`lin<k>.model.1.weight`,
+        the reference's shipped vgg.pth contains exactly these five)."""
+        if str(path).endswith(".npz"):
+            data = np.load(path)
+            self._install(
+                {int(k.split("_")[1]): data[k] for k in data.files if k.startswith("conv_") and k.endswith("_kernel")},
+                {int(k.split("_")[1]): data[k] for k in data.files if k.startswith("conv_") and k.endswith("_bias")},
+                {int(k.split("_")[1]): data[k] for k in data.files if k.startswith("lin_")},
+            )
+            return
         import torch
 
         sd = torch.load(path, map_location="cpu")
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        convs = {}
-        lins = {}
+        conv_w, conv_b, lins = {}, {}, {}
+        conv_keys = sorted(
+            (k for k, v in sd.items() if k.endswith(".weight") and v.ndim == 4 and "lin" not in k),
+            key=lambda k: [int(p) if p.isdigit() else p for p in k.split(".")],
+        )
+        for pos, k in enumerate(conv_keys):
+            conv_w[pos] = np.transpose(sd[k].numpy(), (2, 3, 1, 0))  # OIHW -> HWIO
+            bk = k[: -len("weight")] + "bias"
+            if bk in sd:
+                conv_b[pos] = sd[bk].numpy()
         for k, v in sd.items():
-            # torchvision layout: features.<idx>.weight / lpips layout: net.slice*.<idx>.*
-            if k.endswith(".weight") and v.ndim == 4 and "lin" not in k:
-                idx = int("".join(ch for ch in k.split(".")[-2] if ch.isdigit()) or len(convs))
-                convs[idx] = np.transpose(v.numpy(), (2, 3, 1, 0))  # OIHW -> HWIO
-            if "lin" in k and v.ndim == 4:
-                lins[len(lins)] = v.numpy().reshape(-1)
+            if "lin" in k and v.ndim == 4 and v.shape[0] == 1:
+                idx = int("".join(ch for ch in k.split(".")[0] if ch.isdigit()) or len(lins))
+                lins[idx] = v.numpy().reshape(-1)
+        self._install(conv_w, conv_b, lins)
+
+    def _install(self, conv_w: dict, conv_b: dict, lins: dict) -> None:
         params = jax.device_get(self.params)
         tree = params["params"]
         for i, key in enumerate(sorted(tree, key=lambda s: int(s[4:]))):
-            src = convs.get(i)
-            if src is not None and src.shape == tree[key]["kernel"].shape:
-                tree[key]["kernel"] = src
+            if i in conv_w and np.asarray(conv_w[i]).shape == tree[key]["kernel"].shape:
+                tree[key]["kernel"] = np.asarray(conv_w[i])
+                if i in conv_b:
+                    tree[key]["bias"] = np.asarray(conv_b[i])
         self.params = jax.device_put(params)
         if lins:
-            self.lin_weights = [jnp.asarray(w) for _, w in sorted(lins.items())]
+            self.lin_weights = [jnp.asarray(lins[k]) for k in sorted(lins)]
 
     def _features(self, x: jnp.ndarray):
         if x.shape[-1] == 1:

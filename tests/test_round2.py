@@ -182,7 +182,9 @@ def _unzero_head(params):
 
     flat = flax.traverse_util.flatten_dict(params["params"])
     for k in flat:
-        if "out_conv" in k and k[-1] == "kernel":
+        # the head conv ('out_conv'/'kernel') and every ResBlock's zero-init
+        # second conv ('conv2_kernel') are zero_module barriers
+        if ("out_conv" in k and k[-1] == "kernel") or k[-1] == "conv2_kernel":
             flat[k] = jax.random.normal(jax.random.key(11), flat[k].shape) * 0.05
     return {"params": flax.traverse_util.unflatten_dict(flat)}
 
