@@ -106,21 +106,20 @@ def bench_stage1_train():
         "mask": jax.nn.one_hot(jnp.zeros((1, *spatial), jnp.int32), 12),
         "image": jnp.zeros((1, *spatial, 1)),
     }
-    k_steps = 4
-
-    @jax.jit
-    def run_train(state, key):
-        def body(carry, _):
-            st, k = carry
-            k, sub = jax.random.split(k)
-            st, metrics = step(st, batch, sub)
-            return (st, k), metrics["loss"]
-
-        (state, _), losses = jax.lax.scan(body, (state, key), jnp.arange(k_steps))
-        return jnp.sum(losses)
-
-    dt = time_chain(run_train, state, jax.random.key(1))
-    emit("stage1_train_steps_per_sec_64x128x128", k_steps / dt, "steps/s")
+    # single-step program (not a scan chain): the fwd+bwd+remat graph at
+    # full shape is near the remote compile helper's memory ceiling — a
+    # 4-step scan of it gets the helper SIGKILLed.  Per-step dispatch is
+    # ~1 ms against a ~600 ms step, so timing sequential calls is faithful.
+    jstep = jax.jit(step, donate_argnums=(0,))
+    state, m = jstep(state, batch, jax.random.key(1))
+    _ = float(m["loss"])  # warm: compile + relay
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = jstep(state, batch, jax.random.key(2 + i))
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    emit("stage1_train_steps_per_sec_64x128x128", 1.0 / dt, "steps/s")
 
 
 def _stage2(size, ddim_steps):

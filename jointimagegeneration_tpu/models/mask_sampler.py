@@ -78,7 +78,7 @@ class MaskSampler:
         remat: bool = False,
         spatial_axis: Optional[str] = None,
         text_refiner: Optional[dict] = None,
-        use_fused_resblock: bool = False,
+        use_fused_resblock: object = False,
         **schedule_params,
     ) -> "MaskSampler":
         """Mirror of ccdm's build_model (models/builder.py:14-53):

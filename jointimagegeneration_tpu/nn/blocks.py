@@ -175,7 +175,9 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     pallas_conv: bool = False
-    fused: bool = False
+    # False | 'xla' (conv kernel + XLA prologue fusions) | 'kernel' / True
+    # (GN-affine+SiLU prologue inside the Pallas call)
+    fused: object = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -214,25 +216,40 @@ class ResBlock(nn.Module):
         )
         if can_fuse:
             from ..ops.pallas.fused_resblock import (
-                fused_affine_silu_conv3d, gn_affine_from_moments, group_moments,
-                moments_from_channel_sums,
+                fused_affine_silu_conv3d, fused_conv3d, gn_affine_from_moments,
+                group_moments, moments_from_channel_sums,
             )
 
             d, hh, ww = x.shape[1:4]
-            mean1, var1 = group_moments(x, g1)
-            a1, s1 = gn_affine_from_moments(mean1, var1, n1s, n1b, g1, eps=1e-6)
             if self.use_scale_shift_norm:
                 film_scale, film_shift = jnp.split(emb_out[0], 2)
                 bias1 = b1
             else:
                 bias1 = b1 + emb_out[0]
+            residual = x if in_ch == out_ch else _raw_conv(x, ks, kb, self.dims)
+
+            if self.fused == "xla":
+                # prologues stay XLA elementwise fusions; the Pallas call is
+                # conv + bias/residual/moments epilogue
+                t1 = nn.silu(group_norm(x, n1s, n1b, g1))
+                y1, st = fused_conv3d(t1, k1, bias1, None, True, 8)
+                mean2, var2 = moments_from_channel_sums(st, d * hh * ww, g2)
+                a2, s2 = gn_affine_from_moments(mean2, var2, n2s, n2b, g2, eps=1e-6)
+                if self.use_scale_shift_norm:
+                    a2 = a2 * (1 + film_scale)
+                    s2 = s2 * (1 + film_scale) + film_shift
+                t2 = y1.astype(jnp.float32) * a2 + s2
+                t2 = (t2 * jax.nn.sigmoid(t2)).astype(y1.dtype)
+                return fused_conv3d(t2, k2, b2, residual, False, 8)
+
+            mean1, var1 = group_moments(x, g1)
+            a1, s1 = gn_affine_from_moments(mean1, var1, n1s, n1b, g1, eps=1e-6)
             y1, st = fused_affine_silu_conv3d(x, k1, a1, s1, bias1, None, True, 8)
             mean2, var2 = moments_from_channel_sums(st, d * hh * ww, g2)
             a2, s2 = gn_affine_from_moments(mean2, var2, n2s, n2b, g2, eps=1e-6)
             if self.use_scale_shift_norm:
                 a2 = a2 * (1 + film_scale)
                 s2 = s2 * (1 + film_scale) + film_shift
-            residual = x if in_ch == out_ch else _raw_conv(x, ks, kb, self.dims)
             return fused_affine_silu_conv3d(y1, k2, a2, s2, b2, residual, False, 8)
 
         h = group_norm(x, n1s, n1b, g1)

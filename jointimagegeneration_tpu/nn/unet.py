@@ -77,9 +77,9 @@ class UNet(nn.Module):
     spatial_axis: Optional[str] = None
     # route 3^3 convs through the Pallas im2col kernel (ops/pallas/conv3d.py)
     use_pallas_conv: bool = False
-    # fuse ResBlocks into Pallas affine+SiLU+conv pairs (ops/pallas/
-    # fused_resblock.py) — the production 3D path on TPU
-    use_fused_resblock: bool = False
+    # fuse ResBlocks into Pallas conv pairs (ops/pallas/fused_resblock.py):
+    # False | 'xla' (XLA prologue) | 'kernel'/True (in-kernel prologue)
+    use_fused_resblock: object = False
 
     def _attn(self, ch: int, name: str):
         if self.num_head_channels == -1:
@@ -142,7 +142,7 @@ class UNet(nn.Module):
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             pallas_conv=self.use_pallas_conv and self.dims == 3,
-            fused=self.use_fused_resblock and self.dims == 3,
+            fused=self.use_fused_resblock if self.dims == 3 else False,
         )
         # rematerialise each ResBlock under grad (reference: per-block
         # CheckpointFunction, unet_openai/nn.py:124-170)

@@ -1,27 +1,28 @@
-"""Fused ResBlock conv: affine+SiLU prologue -> im2col 3x3x3 conv -> bias/
-residual/stats epilogue, one Pallas call per conv.
+"""Fused ResBlock convs: im2col 3x3x3 conv with bias/residual/stats epilogue
+(+ optional in-kernel GN-affine+SiLU prologue), one Pallas call per conv.
 
 Round-1 finding (ops/pallas/conv3d.py STATUS, BENCH_NOTES "Known headroom
-#1"): the isolated im2col conv beats XLA 1.3-1.5x but a bare conv custom
-call inside the big UNet program loses 2x to the tpu_custom_call boundary.
-Round-2 direction executed here: make each boundary carry a whole half-
-ResBlock so the count drops ~54 -> ~27 and the work per call grows from
-one conv to norm+act+conv+epilogue (the reference ResBlock body,
-ccdm/ddpm/models/unet_openai/unet.py:188-262).
+#1"): XLA's conv3d runs the stage-1 level-0 (Cin=Cout=64) convs at ~36
+TF/s because its per-tap contraction underfills the 128-deep MXU K
+dimension; an im2col patch matmul (K = 27·Cin) runs the same contraction
+near the N=64 ceiling.  The round-1 per-conv routing lost the isolation
+win to custom-call boundaries, so here each boundary carries half a
+ResBlock (reference block body, unet_openai/unet.py:188-262):
 
-Key algebraic move: GroupNorm with known statistics is a per-CHANNEL
-affine y = x*scale_c + shift_c (scale_c = gamma_c * rstd(group(c)),
-shift_c = beta_c - mean(group(c)) * scale_c).  The statistics come either
-from a cheap XLA reduction over x (GN1) or from the per-channel sum/sumsq
-the PREVIOUS fused call accumulated while writing its output (GN2) — so
-the normalise+SiLU never makes a separate HBM round trip.
+  * the conv accumulates in fp32 and fuses the +bias (conv bias + timestep
+    emb), +residual (skip) adds, and the per-channel [sum, sumsq] moments
+    of its own output — so the following GroupNorm needs NO extra pass
+    over the volume (GN with known moments is a per-channel affine);
+  * patch assembly is split per dz tap-plane into two alternating VMEM
+    buffers, so the VPU's im2col copies for plane k+1 can overlap the
+    MXU's K=9·Cin matmul for plane k;
+  * two prologue options: `fused_conv3d` takes a pre-activated input
+    (silu(GN(x)) stays an XLA fusion — bandwidth-bound and nearly free
+    there) while `fused_affine_silu_conv3d` applies the folded GN affine
+    + SiLU inside the kernel (re-zeroing pad taps with iota masks, since
+    silu(affine(0)) != 0).
 
-Boundary handling: the input is zero-padded by 1 in XLA, but silu(affine(0))
-is nonzero, so the kernel re-zeroes pad taps with (static x, iota y,
-scalar z) masks — equivalent to the reference's pad-after-activation
-'SAME' conv.
-
-Training: custom VJP recomputes through the identical XLA composition
+Training: custom VJPs recompute through the identical XLA composition
 (same math as differentiating the reference block).
 """
 
@@ -35,18 +36,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_affine_silu_conv3d", "gn_affine_from_moments", "group_moments", "moments_from_channel_sums"]
+__all__ = [
+    "fused_conv3d",
+    "fused_affine_silu_conv3d",
+    "gn_affine_from_moments",
+    "group_moments",
+    "moments_from_channel_sums",
+]
+
+# test hook: route through the (interpreted) pallas path even off-TPU
+_FORCE_PALLAS = [False]
 
 
 def _kernel(*refs, th: int, w_out: int, cin: int, cout: int, d: int, h: int,
-            has_bias: bool, has_residual: bool, want_stats: bool, split_k: int):
-    # refs layout: x0, x1, x2, w, scale, shift, [bias], [residual], out,
-    #              [stats_out], patch_scratch, acc_scratch, [stats_scratch]
+            has_affine: bool, has_bias: bool, has_residual: bool, want_stats: bool):
     i = 0
     x_refs = refs[i:i + 3]; i += 3
     w_ref = refs[i]; i += 1
-    sc_ref = refs[i]; i += 1
-    sh_ref = refs[i]; i += 1
+    if has_affine:
+        sc_ref = refs[i]; sh_ref = refs[i + 1]; i += 2
     bi_ref = refs[i] if has_bias else None
     i += int(has_bias)
     res_ref = refs[i] if has_residual else None
@@ -54,7 +62,7 @@ def _kernel(*refs, th: int, w_out: int, cin: int, cout: int, d: int, h: int,
     o_ref = refs[i]; i += 1
     st_ref = refs[i] if want_stats else None
     i += int(want_stats)
-    patch_ref = refs[i]; i += 1
+    patches = (refs[i], refs[i + 1]); i += 2
     acc_ref = refs[i]; i += 1
     stacc_ref = refs[i] if want_stats else None
 
@@ -63,34 +71,35 @@ def _kernel(*refs, th: int, w_out: int, cin: int, cout: int, d: int, h: int,
     y0 = yi * th
     ny = pl.num_programs(1)
 
-    scale = sc_ref[0, :].astype(jnp.float32)  # (Cin,)
-    shift = sh_ref[0, :].astype(jnp.float32)
-
-    # static x-validity over padded columns 0..W+1 (cols 1..W are real)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (th, w_out + 2), 1)
-    x_ok = (col_ids >= 1) & (col_ids <= w_out)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (th, w_out + 2), 0)
+    if has_affine:
+        scale = sc_ref[0, :].astype(jnp.float32)  # (Cin,)
+        shift = sh_ref[0, :].astype(jnp.float32)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (th, w_out + 2), 1)
+        x_ok = (col_ids >= 1) & (col_ids <= w_out)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (th, w_out + 2), 0)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     for dz in range(3):
-        # padded z slice index zi+dz is a pad plane iff 0 or D+1
-        z_ok = jnp.logical_and(zi + dz >= 1, zi + dz <= d)
+        pr = patches[dz % 2]
         for dy in range(3):
             rows = x_refs[dz][0, pl.ds(y0 + dy, th), :, :]  # (TH, W+2, Cin)
-            t = rows.astype(jnp.float32) * scale + shift
-            t = t * jax.nn.sigmoid(t)
-            # padded row r = y0+dy+i is real iff 1 <= r <= H
-            r = row_ids + (y0 + dy)
-            ok = x_ok & (r >= 1) & (r <= h) & z_ok
-            t = jnp.where(ok[:, :, None], t, 0.0).astype(patch_ref.dtype)
+            if has_affine:
+                t = rows.astype(jnp.float32) * scale + shift
+                t = t * jax.nn.sigmoid(t)
+                # padded z plane zi+dz / row y0+dy+i / col j are pad unless
+                # 1 <= idx <= extent; the mask goes through fp32 before the
+                # minor-dim insert (Mosaic restriction for i1/bf16)
+                z_ok = jnp.logical_and(zi + dz >= 1, zi + dz <= d)
+                r = row_ids + (y0 + dy)
+                ok = (x_ok & (r >= 1) & (r <= h) & z_ok).astype(jnp.float32)
+                t = (t * ok[:, :, None]).astype(pr.dtype)
+            else:
+                t = rows
             for dx in range(3):
-                col = ((dz * 9 if split_k == 1 else 0) + dy * 3 + dx) * cin
-                patch_ref[:, col:col + cin] = t[:, dx:dx + w_out, :].reshape(th * w_out, cin)
-        if split_k == 3:  # partial dot per dz keeps patch at 9*Cin columns
-            acc_ref[:] += jnp.dot(patch_ref[:], w_ref[pl.ds(dz * 9 * cin, 9 * cin), :],
-                                  preferred_element_type=jnp.float32)
-    if split_k == 1:
-        acc_ref[:] = jnp.dot(patch_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+                col = (dy * 3 + dx) * cin
+                pr[:, col:col + cin] = t[:, dx:dx + w_out, :].reshape(th * w_out, cin)
+        acc_ref[:] += jnp.dot(pr[:], w_ref[pl.ds(dz * 9 * cin, 9 * cin), :],
+                              preferred_element_type=jnp.float32)
 
     acc = acc_ref[:]
     if has_bias:
@@ -112,10 +121,76 @@ def _kernel(*refs, th: int, w_out: int, cin: int, cout: int, d: int, h: int,
             st_ref[:] = stacc_ref[0:2, :]
 
 
-def _xla_reference(x, kernel, scale, shift, bias, residual, want_stats):
+def _impl(x, kernel, scale, shift, bias, residual, want_stats, tile_h, vmem_limit_mb,
+          has_affine):
+    b, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    assert b == 1 and kernel.shape[:4] == (3, 3, 3, cin), (x.shape, kernel.shape)
+    assert h % tile_h == 0, (h, tile_h)
+    if jax.default_backend() not in ("tpu",) and not _FORCE_PALLAS[0]:
+        # CPU path: interpret-mode pallas is ~100x slower than XLA here and
+        # the math is identical by the unit tests; keep the suite fast.
+        return _xla_reference(x, kernel, scale, shift, bias, residual, want_stats,
+                              activate=has_affine)
+
+    xp = jnp.pad(x[0], ((1, 1), (1, 1), (1, 1), (0, 0)))  # (D+2, H+2, W+2, Cin)
+    wk = kernel.reshape(27 * cin, cout).astype(x.dtype)
+
+    slice_spec = lambda off: pl.BlockSpec(
+        (1, h + 2, w + 2, cin), lambda zi, yi, off=off: (zi + off, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    in_specs = [slice_spec(0), slice_spec(1), slice_spec(2),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]                    # w
+    args = [xp, xp, xp, wk]
+    if has_affine:
+        in_specs += [pl.BlockSpec((1, cin), lambda zi, yi: (0, 0), memory_space=pltpu.VMEM)] * 2
+        args += [scale.reshape(1, cin).astype(jnp.float32),
+                 shift.reshape(1, cin).astype(jnp.float32)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, cout), lambda zi, yi: (0, 0), memory_space=pltpu.VMEM))
+        args.append(bias.reshape(1, cout).astype(jnp.float32))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, tile_h, w, cout), lambda zi, yi: (zi, yi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual[0] if residual.ndim == 5 else residual)
+
+    out_shape = [jax.ShapeDtypeStruct((d, h, w, cout), x.dtype)]
+    out_specs = [pl.BlockSpec((1, tile_h, w, cout), lambda zi, yi: (zi, yi, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if want_stats:
+        out_shape.append(jax.ShapeDtypeStruct((2, cout), jnp.float32))
+        out_specs.append(pl.BlockSpec((2, cout), lambda zi, yi: (0, 0), memory_space=pltpu.VMEM))
+
+    scratch = [pltpu.VMEM((tile_h * w, 9 * cin), x.dtype),   # patch plane A
+               pltpu.VMEM((tile_h * w, 9 * cin), x.dtype),   # patch plane B
+               pltpu.VMEM((tile_h * w, cout), jnp.float32)]
+    if want_stats:
+        scratch.append(pltpu.VMEM((8, cout), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(_kernel, th=tile_h, w_out=w, cin=cin, cout=cout, d=d, h=h,
+                          has_affine=has_affine, has_bias=bias is not None,
+                          has_residual=residual is not None, want_stats=want_stats),
+        grid=(d, h // tile_h),
+        in_specs=in_specs,
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shape if want_stats else out_shape[0],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb * 2**20),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    if want_stats:
+        return res[0][None], res[1]
+    return res[None]
+
+
+def _xla_reference(x, kernel, scale, shift, bias, residual, want_stats, activate=True):
     """Same math in plain XLA (backward recompute + CPU/test path)."""
-    t = x.astype(jnp.float32) * scale + shift
-    t = (t * jax.nn.sigmoid(t)).astype(x.dtype)
+    if activate:
+        t = x.astype(jnp.float32) * scale + shift
+        t = (t * jax.nn.sigmoid(t)).astype(x.dtype)
+    else:
+        t = x
     y = jax.lax.conv_general_dilated(
         t, kernel.astype(t.dtype), (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -132,6 +207,8 @@ def _xla_reference(x, kernel, scale, shift, bias, residual, want_stats):
     return out
 
 
+# --- mode A: in-kernel GN-affine + SiLU prologue ------------------------------
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_affine_silu_conv3d(
     x: jnp.ndarray,            # (1, D, H, W, Cin)
@@ -147,86 +224,18 @@ def fused_affine_silu_conv3d(
     """conv3x3x3(silu(x*scale+shift)) [+bias] [+residual], channels-last.
 
     Returns the output, plus (2, Cout) fp32 [sum, sumsq] over all voxels of
-    the fp32 accumulator when `want_stats` (feeds the next GroupNorm).
-    """
-    return _impl(x, kernel, scale, shift, bias, residual, want_stats, tile_h, vmem_limit_mb)
+    the fp32 accumulator when `want_stats` (feeds the next GroupNorm)."""
+    return _impl(x, kernel, scale, shift, bias, residual, want_stats, tile_h,
+                 vmem_limit_mb, has_affine=True)
 
 
-def _impl(x, kernel, scale, shift, bias, residual, want_stats, tile_h, vmem_limit_mb):
-    b, d, h, w, cin = x.shape
-    cout = kernel.shape[-1]
-    assert b == 1 and kernel.shape[:4] == (3, 3, 3, cin), (x.shape, kernel.shape)
-    assert h % tile_h == 0, (h, tile_h)
-    if jax.default_backend() not in ("tpu",) and not _FORCE_PALLAS[0]:
-        # CPU path: interpret-mode pallas is ~100x slower than XLA here and
-        # the math is identical by the unit tests; keep the suite fast.
-        return _xla_reference(x, kernel, scale, shift, bias, residual, want_stats)
-
-    xp = jnp.pad(x[0], ((1, 1), (1, 1), (1, 1), (0, 0)))  # (D+2, H+2, W+2, Cin)
-    wk = kernel.reshape(27 * cin, cout).astype(x.dtype)
-    sc = scale.reshape(1, cin).astype(jnp.float32)
-    sh = shift.reshape(1, cin).astype(jnp.float32)
-
-    # full 27*Cin patch when it fits comfortably; per-dz split otherwise
-    split_k = 1 if (tile_h * w * 27 * cin * x.dtype.itemsize) <= 8 * 2**20 else 3
-    patch_cols = 27 * cin if split_k == 1 else 9 * cin
-
-    slice_spec = lambda off: pl.BlockSpec(
-        (1, h + 2, w + 2, cin), lambda zi, yi, off=off: (zi + off, 0, 0, 0),
-        memory_space=pltpu.VMEM)
-    in_specs = [slice_spec(0), slice_spec(1), slice_spec(2),
-                pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
-                pl.BlockSpec((1, cin), lambda zi, yi: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cin), lambda zi, yi: (0, 0), memory_space=pltpu.VMEM)]
-    args = [xp, xp, xp, wk, sc, sh]
-    if bias is not None:
-        in_specs.append(pl.BlockSpec((1, cout), lambda zi, yi: (0, 0), memory_space=pltpu.VMEM))
-        args.append(bias.reshape(1, cout).astype(jnp.float32))
-    if residual is not None:
-        in_specs.append(pl.BlockSpec((1, tile_h, w, cout), lambda zi, yi: (zi, yi, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(residual[0] if residual.ndim == 5 else residual)
-
-    out_shape = [jax.ShapeDtypeStruct((d, h, w, cout), x.dtype)]
-    out_specs = [pl.BlockSpec((1, tile_h, w, cout), lambda zi, yi: (zi, yi, 0, 0),
-                              memory_space=pltpu.VMEM)]
-    if want_stats:
-        out_shape.append(jax.ShapeDtypeStruct((2, cout), jnp.float32))
-        out_specs.append(pl.BlockSpec((2, cout), lambda zi, yi: (0, 0), memory_space=pltpu.VMEM))
-
-    scratch = [pltpu.VMEM((tile_h * w, patch_cols), x.dtype),
-               pltpu.VMEM((tile_h * w, cout), jnp.float32)]
-    if want_stats:
-        scratch.append(pltpu.VMEM((8, cout), jnp.float32))
-
-    res = pl.pallas_call(
-        functools.partial(_kernel, th=tile_h, w_out=w, cin=cin, cout=cout, d=d, h=h,
-                          has_bias=bias is not None, has_residual=residual is not None,
-                          want_stats=want_stats, split_k=split_k),
-        grid=(d, h // tile_h),
-        in_specs=in_specs,
-        out_specs=out_specs if want_stats else out_specs[0],
-        out_shape=out_shape if want_stats else out_shape[0],
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb * 2**20),
-        interpret=jax.default_backend() != "tpu",
-    )(*args)
-    if want_stats:
-        return res[0][None], res[1]
-    return res[None]
-
-
-# test hook: route through the (interpreted) pallas path even off-TPU
-_FORCE_PALLAS = [False]
-
-
-def _fwd(x, kernel, scale, shift, bias, residual, want_stats, tile_h, vmem_limit_mb):
+def _fwd_a(x, kernel, scale, shift, bias, residual, want_stats, tile_h, vmem_limit_mb):
     out = fused_affine_silu_conv3d(x, kernel, scale, shift, bias, residual,
                                    want_stats, tile_h, vmem_limit_mb)
     return out, (x, kernel, scale, shift, bias, residual)
 
 
-def _bwd(want_stats, tile_h, vmem_limit_mb, saved, g):
+def _bwd_a(want_stats, tile_h, vmem_limit_mb, saved, g):
     x, kernel, scale, shift, bias, residual = saved
     has_bias = bias is not None
     has_res = residual is not None
@@ -243,7 +252,50 @@ def _bwd(want_stats, tile_h, vmem_limit_mb, saved, g):
     return dx, dk, dsc, dsh, (dbi if has_bias else None), (dres if has_res else None)
 
 
-fused_affine_silu_conv3d.defvjp(_fwd, _bwd)
+fused_affine_silu_conv3d.defvjp(_fwd_a, _bwd_a)
+
+
+# --- mode B: pre-activated input (prologue stays an XLA fusion) ---------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_conv3d(
+    x: jnp.ndarray,            # (1, D, H, W, Cin) — already activated
+    kernel: jnp.ndarray,       # (3, 3, 3, Cin, Cout)
+    bias: Optional[jnp.ndarray],
+    residual: Optional[jnp.ndarray],
+    want_stats: bool = False,
+    tile_h: int = 8,
+    vmem_limit_mb: int = 100,
+):
+    """conv3x3x3(x) [+bias] [+residual] with fp32 accumulation and optional
+    per-channel moments of the output."""
+    return _impl(x, kernel, None, None, bias, residual, want_stats, tile_h,
+                 vmem_limit_mb, has_affine=False)
+
+
+def _fwd_b(x, kernel, bias, residual, want_stats, tile_h, vmem_limit_mb):
+    out = fused_conv3d(x, kernel, bias, residual, want_stats, tile_h, vmem_limit_mb)
+    return out, (x, kernel, bias, residual)
+
+
+def _bwd_b(want_stats, tile_h, vmem_limit_mb, saved, g):
+    x, kernel, bias, residual = saved
+    has_bias = bias is not None
+    has_res = residual is not None
+
+    def ref(x, kernel, bias, residual):
+        return _xla_reference(x, kernel, None, None,
+                              bias if has_bias else None,
+                              residual if has_res else None, want_stats, activate=False)
+
+    zeros = jnp.zeros((), jnp.float32)
+    _, vjp = jax.vjp(ref, x, kernel, bias if has_bias else zeros,
+                     residual if has_res else zeros)
+    dx, dk, dbi, dres = vjp(g)
+    return dx, dk, (dbi if has_bias else None), (dres if has_res else None)
+
+
+fused_conv3d.defvjp(_fwd_b, _bwd_b)
 
 
 # --- GroupNorm <-> affine algebra -------------------------------------------

@@ -52,17 +52,16 @@ def bench_resblock(shape, ch, label):
     x = jax.random.normal(jax.random.key(0), (1, *shape, ch), jnp.bfloat16)
     emb = jax.random.normal(jax.random.key(1), (1, 256), jnp.bfloat16)
     rb_u = ResBlock(ch, dims=3, fused=False)
-    rb_f = ResBlock(ch, dims=3, fused=True)
     params = rb_u.init(jax.random.key(2), x, emb)
     params = jax.tree.map(lambda p: p if p.ndim < 5 else jax.random.normal(jax.random.key(9), p.shape) * 0.05, params)
     tu = scan_timed(lambda h: rb_u.apply(params, h, emb), x, 20, f"{label} XLA")
-    tf = scan_timed(lambda h: rb_f.apply(params, h, emb), x, 20, f"{label} fused")
-    print(f"{label} speedup: {tu / tf:.2f}x", flush=True)
-    # numeric check
     yu = np.asarray(rb_u.apply(params, x, emb), np.float32)
-    yf = np.asarray(rb_f.apply(params, x, emb), np.float32)
-    err = np.max(np.abs(yu - yf)) / max(1e-6, np.max(np.abs(yu)))
-    print(f"{label} rel err fused vs XLA: {err:.4f}", flush=True)
+    for mode in ("xla", "kernel"):
+        rb_f = ResBlock(ch, dims=3, fused=mode)
+        tf = scan_timed(lambda h: rb_f.apply(params, h, emb), x, 20, f"{label} fused[{mode}]")
+        yf = np.asarray(rb_f.apply(params, x, emb), np.float32)
+        err = np.max(np.abs(yu - yf)) / max(1e-6, np.max(np.abs(yu)))
+        print(f"{label} fused[{mode}]: speedup {tu / tf:.2f}x  rel err {err:.4f}", flush=True)
 
 
 def bench_flagship(fused):
@@ -95,6 +94,9 @@ if __name__ == "__main__":
     bench_resblock((64, 128, 128), 64, "ResBlock L0 64ch 64x128x128")
     bench_resblock((32, 64, 64), 128, "ResBlock L1 128ch 32x64x64")
     bench_resblock((16, 32, 32), 128, "ResBlock L2 128ch 16x32x32")
-    t_base = bench_flagship(False)
-    t_fused = bench_flagship(True)
-    print(f"whole-model speedup: {t_base / t_fused:.2f}x", flush=True)
+    import sys
+
+    modes = sys.argv[1:] or [False, "xla"]
+    times = [bench_flagship(m) for m in modes]
+    if len(times) > 1:
+        print(f"whole-model speedup: {times[0] / times[-1]:.2f}x", flush=True)

@@ -94,15 +94,16 @@ def test_fused_conv_grads_match_xla():
         np.testing.assert_allclose(a, bgrad, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("fused_mode", ["kernel", "xla"])
 @pytest.mark.parametrize("in_ch,out_ch,ssn", [(8, 8, False), (8, 16, False), (8, 8, True)])
-def test_resblock_fused_matches_unfused(in_ch, out_ch, ssn):
-    """The fused (folded-affine) path must reproduce the plain XLA block."""
+def test_resblock_fused_matches_unfused(in_ch, out_ch, ssn, fused_mode):
+    """Both fused paths must reproduce the plain XLA block."""
     from jointimagegeneration_tpu.nn.blocks import ResBlock
 
     x = _rand(0, (1, 4, 8, 8, in_ch))
     emb = _rand(1, (1, 12))
     rb_u = ResBlock(out_ch, dims=3, use_scale_shift_norm=ssn, fused=False)
-    rb_f = ResBlock(out_ch, dims=3, use_scale_shift_norm=ssn, fused=True)
+    rb_f = ResBlock(out_ch, dims=3, use_scale_shift_norm=ssn, fused=fused_mode)
     params = rb_u.init(jax.random.key(2), x, emb)
     # conv2 is zero-init (reference zero_module) -> un-zero so the second
     # half-block (GN2 affine + conv2) actually contributes
