@@ -249,10 +249,17 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+                    block_q: int = 1024, block_k: int = 1024) -> jnp.ndarray:
     """(B, H, Tq, D) attention with softmax over Tk.  Inputs unscaled —
     this applies 1/sqrt(D) to q (equivalent to the reference's
-    double 1/sqrt(sqrt(D)) trick, unet.py:354)."""
+    double 1/sqrt(sqrt(D)) trick, unet.py:354).
+
+    Default blocks are 1024 (measured on v5e at the stage-2 hot site
+    (16, 4096, 32): 2.42 ms vs 3.03 at 512-blocks; 2048+ blows the 16 MB
+    scoped-vmem default).  At D=32 the kernel is intrinsically ~50/50
+    VPU/MXU (per score element: ~4 VPU ops vs 2·2·D MACs), so the
+    remaining headroom is VPU/MXU overlap, not exp speed — measured
+    exp2-vs-exp parity."""
     d = q.shape[-1]
     q = q * (1.0 / math.sqrt(d))
     bq = min(block_q, q.shape[2])
