@@ -38,6 +38,7 @@ def test_flash_single_block():
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_flash_gradients_match_xla():
     q = jax.random.normal(jax.random.key(4), (1, 1, 128, 16))
     k = jax.random.normal(jax.random.key(5), (1, 1, 128, 16))
@@ -61,6 +62,7 @@ def test_flash_rejects_ragged():
         flash_attention(q, q, q, block_q=64, block_k=64)
 
 
+@pytest.mark.slow
 def test_flash_backward_kernels_multiblock():
     """dq/dk/dv Pallas kernels across multiple q and k blocks, Tq != Tk."""
     import numpy as np

@@ -14,6 +14,7 @@ def _rand(key, shape, dtype=jnp.float32):
     return jax.random.normal(jax.random.key(key), shape, dtype)
 
 
+@pytest.mark.slow  # interpret-mode Pallas is slow on CPU
 @pytest.mark.parametrize("bias,residual,want_stats", [
     (False, False, False),
     (True, False, True),
@@ -72,6 +73,7 @@ def test_moments_from_channel_sums_match_direct():
     np.testing.assert_allclose(var, var_d, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_conv_grads_match_xla():
     d, h, w, cin, cout = 4, 8, 8, 8, 8
     x = _rand(0, (1, d, h, w, cin))

@@ -73,6 +73,7 @@ def _torch_lpips(sd, lins, a, b):
     return total
 
 
+@pytest.mark.slow
 def test_lpips_matches_torch_reference(tmp_path):
     sd = _random_torch_sd()
     lins = _random_lins_sd()
