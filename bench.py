@@ -59,6 +59,26 @@ def time_chain(fn, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
+_V5E_PEAK_TFLOPS = 197.0  # bf16
+
+
+def emit_mfu(name, jitted, args, steps_in_program, dt_per_step):
+    """Achieved TF/s + model FLOPs utilisation from XLA's own cost analysis
+    of the compiled chain program (SURVEY §5 tracing/profiling surface)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) / steps_in_program
+        if flops <= 0:
+            return
+        tfs = flops / dt_per_step / 1e12
+        emit(f"{name}_achieved_tflops_per_chip", tfs, "TF/s")
+        emit(f"{name}_mfu", 100.0 * tfs / _V5E_PEAK_TFLOPS, "%")
+    except Exception:
+        pass
+
+
 def bench_stage1_denoise():
     from jointimagegeneration_tpu.models import MaskSampler
 
@@ -85,6 +105,8 @@ def bench_stage1_denoise():
     dt = time.perf_counter() - t0
     emit("stage1_denoise_steps_per_sec_per_chip_64x128x128",
          chain_steps * n_iters / dt, "steps/s")
+    emit_mfu("stage1_denoise", run_chain, (params, jax.random.key(1)),
+             chain_steps, dt / (chain_steps * n_iters))
     return model, params, spatial
 
 
@@ -149,6 +171,7 @@ def bench_stage2_ddim():
 
     dt = time_chain(run, params, jax.random.key(2))
     emit("stage2_ddim_steps_per_sec_512x512", chain / dt, "steps/s")
+    emit_mfu("stage2_ddim", run, (params, jax.random.key(2)), chain, dt / chain)
 
 
 def bench_e2e():
