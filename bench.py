@@ -62,14 +62,18 @@ def time_chain(fn, *args, iters=3):
 _V5E_PEAK_TFLOPS = 197.0  # bf16
 
 
-def emit_mfu(name, jitted, args, steps_in_program, dt_per_step):
+def emit_mfu(name, jitted, args, dt_per_step):
     """Achieved TF/s + model FLOPs utilisation from XLA's own cost analysis
-    of the compiled chain program (SURVEY §5 tracing/profiling surface)."""
+    of the compiled chain program (SURVEY §5 tracing/profiling surface).
+    XLA counts a lax.scan/while body ONCE, so for the scan-chain programs
+    here `flops` is already per-step (verified on-chip: 2.31 TF reported
+    for the 6.15-TFLOP denoise body x 8.7 steps/s ~= the measured 53 TF/s
+    whole-model rate only when NOT dividing by chain length)."""
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) / steps_in_program
+        flops = float(ca.get("flops", 0.0))
         if flops <= 0:
             return
         tfs = flops / dt_per_step / 1e12
@@ -106,7 +110,7 @@ def bench_stage1_denoise():
     emit("stage1_denoise_steps_per_sec_per_chip_64x128x128",
          chain_steps * n_iters / dt, "steps/s")
     emit_mfu("stage1_denoise", run_chain, (params, jax.random.key(1)),
-             chain_steps, dt / (chain_steps * n_iters))
+             dt / (chain_steps * n_iters))
     return model, params, spatial
 
 
@@ -171,7 +175,7 @@ def bench_stage2_ddim():
 
     dt = time_chain(run, params, jax.random.key(2))
     emit("stage2_ddim_steps_per_sec_512x512", chain / dt, "steps/s")
-    emit_mfu("stage2_ddim", run, (params, jax.random.key(2)), chain, dt / chain)
+    emit_mfu("stage2_ddim", run, (params, jax.random.key(2)), dt / chain)
 
 
 def bench_e2e():

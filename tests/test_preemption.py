@@ -67,9 +67,12 @@ def test_sigusr1_checkpoint_sigint_exit_resume(tmp_path):
     rundir = tmp_path / "runs" / "drill"
     ckdir = rundir / "checkpoints"
 
+    # stdout must go to a file: with a PIPE nobody drains, the child blocks
+    # on print once the 64 KB buffer fills and training silently stalls
+    log = open(tmp_path / "train.log", "wb")
     proc = subprocess.Popen(
         [sys.executable, "-m", "jointimagegeneration_tpu.cli.train_mask", str(cfg_path), "drill"],
-        env=_env(), cwd=_REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=_env(), cwd=_REPO, stdout=log, stderr=subprocess.STDOUT,
     )
     try:
         _wait_for(lambda: (rundir / "metrics.jsonl").exists()
