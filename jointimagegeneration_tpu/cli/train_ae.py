@@ -21,7 +21,7 @@ from ..core.logging import MetricLogger, Throughput
 from ..data.loader import DataLoader
 from ..models.autoencoder import AutoencoderKL
 from ..nn.discriminators import PatchDiscriminator
-from ..parallel.mesh import is_chief, make_mesh, replicate
+from ..parallel.mesh import is_chief, make_mesh_for_batch, replicate
 from ..train import build_optimizer
 from ..train.gan import GANTrainState, make_autoencoder_train_step
 from .common import build_slice_dataset
@@ -38,7 +38,7 @@ def main(argv=None):
     from ..parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.get("batch_size", 1))
     dims = dd.get("dims", 2)
     model = AutoencoderKL(
         embed_dim=m.get("embed_dim", 4),

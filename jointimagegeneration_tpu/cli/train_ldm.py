@@ -18,7 +18,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.config import load_yaml_config
 from ..data.loader import DataLoader
-from ..parallel.mesh import make_mesh, replicate
+from ..parallel.mesh import make_mesh_for_batch, replicate
 from ..train import EMATrainState, build_optimizer, make_ldm_train_step
 from ..train.trainer import Trainer, TrainerConfig
 from .common import build_slice_dataset, build_slice_ldm
@@ -33,7 +33,7 @@ def main(argv=None):
     from ..parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.get("batch_size", 1))
     model = build_slice_ldm(model_cfg)
     train_ds = build_slice_dataset(cfg, "train")
     size = tuple(cfg.get("dataset", {}).get("slice_shape", (512, 512)))[0]

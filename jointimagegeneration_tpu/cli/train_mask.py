@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core.config import load_yaml_config
 from ..data.loader import DataLoader
 from ..eval.metrics import per_class_dice
-from ..parallel.mesh import make_mesh, replicate
+from ..parallel.mesh import make_mesh_for_batch, replicate
 from ..train import EMATrainState, build_optimizer, make_mask_train_step
 from ..train.trainer import Trainer, TrainerConfig
 from .common import build_mask_dataset, build_mask_sampler
@@ -33,7 +33,7 @@ def main(argv=None):
     from ..parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.get("batch_size", 1))
     model = build_mask_sampler(cfg)
     train_ds = build_mask_dataset(cfg, "train")
     spatial = tuple(cfg.get("dataset", {}).get("volume_shape", (64, 128, 128)))

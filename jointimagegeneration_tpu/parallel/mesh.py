@@ -22,7 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "is_chief", "maybe_initialize_distributed"]
+__all__ = ["make_mesh", "make_mesh_for_batch", "shard_batch", "replicate", "is_chief",
+           "maybe_initialize_distributed"]
 
 
 def maybe_initialize_distributed() -> None:
@@ -53,6 +54,22 @@ def make_mesh(
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
+
+
+def make_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
+    """Mesh whose data axis divides `batch_size` — uses the largest
+    compatible device subset instead of crashing when batch % n_devices != 0
+    (e.g. a debug batch of 2 on an 8-device backend)."""
+    import math
+
+    devices = list(jax.devices())
+    max_data = len(devices) // model
+    data = math.gcd(max(1, batch_size), max_data) if max_data else 1
+    use = devices[: data * model]
+    if len(use) < len(devices) and is_chief():
+        print(f"mesh: batch_size={batch_size} not divisible by {len(devices)} devices; "
+              f"using {len(use)} ({data}x{model})")
+    return make_mesh(data=data, model=model, devices=use)
 
 
 def shard_batch(mesh: Mesh, batch, batch_axis: str = "data"):

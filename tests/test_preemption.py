@@ -45,10 +45,17 @@ def _cfg(tmp_path):
 
 
 def _env():
+    import re
+
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # conftest's 8 virtual devices leak through XLA_FLAGS; the CLI would then
+    # build an 8-way data mesh that batch_size=2 cannot shard over
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", env.get("XLA_FLAGS", "")
+    ).strip()
     return env
 
 

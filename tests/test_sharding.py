@@ -133,3 +133,15 @@ def test_spatially_sharded_slice_sampling_matches():
             jax.jit(lambda p, c, k: sharded.sample_slice(p, k, c, ddim))(ps, cs, jax.random.key(2))
         )
     np.testing.assert_allclose(ref, out, rtol=1e-4, atol=1e-4)
+
+
+def test_make_mesh_for_batch_uses_compatible_subset():
+    """batch sizes that don't divide the device count get the largest
+    compatible data axis instead of a sharding crash (CLI debug configs)."""
+    from jointimagegeneration_tpu.parallel.mesh import make_mesh_for_batch
+
+    assert make_mesh_for_batch(2).devices.size == 2
+    assert make_mesh_for_batch(8).devices.size == 8
+    assert make_mesh_for_batch(3).devices.size == 1
+    assert make_mesh_for_batch(4, model=2).devices.size == 8
+    assert make_mesh_for_batch(16).devices.size == 8
