@@ -101,3 +101,92 @@ def test_silu_dense_matches_torch():
     out = np.asarray(jax.nn.silu(jnp.asarray(x) @ jnp.asarray(w) + jnp.asarray(b)))
     ref = torch.nn.functional.silu(torch.tensor(x) @ torch.tensor(w) + torch.tensor(b)).numpy()
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_resblock_matches_torch_reference_block():
+    """Whole ResBlock vs a torch replica of the reference block semantics
+    (unet_openai/unet.py:149-262: GN32->SiLU->Conv3d, +Linear(SiLU(emb)),
+    GN32->SiLU->zero-Conv3d, learned 1x1 skip).  Params are mapped from our
+    flat tree into the torch modules (DHWIO->OIDHW, Dense->Linear^T)."""
+    import jax
+    import jax.numpy as jnp
+    from jointimagegeneration_tpu.nn.blocks import ResBlock
+
+    in_ch, out_ch, emb_dim = 8, 16, 12
+    x = np.random.RandomState(0).randn(2, 4, 6, 6, in_ch).astype(np.float32)
+    emb = np.random.RandomState(1).randn(2, emb_dim).astype(np.float32)
+
+    rb = ResBlock(out_ch, dims=3)
+    params = rb.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(emb))
+    # un-zero conv2 so the full path is exercised
+    p = {k: np.asarray(v) for k, v in params["params"].items()}
+    p["conv2_kernel"] = np.random.RandomState(2).randn(*p["conv2_kernel"].shape).astype(np.float32) * 0.1
+    params = {"params": {k: jnp.asarray(v) for k, v in p.items()}}
+    ours = np.asarray(rb.apply(params, jnp.asarray(x), jnp.asarray(emb)))
+
+    gn1 = torch.nn.GroupNorm(8, in_ch, eps=1e-6)
+    gn2 = torch.nn.GroupNorm(16, out_ch, eps=1e-6)
+    conv1 = torch.nn.Conv3d(in_ch, out_ch, 3, padding=1)
+    conv2 = torch.nn.Conv3d(out_ch, out_ch, 3, padding=1)
+    lin = torch.nn.Linear(emb_dim, out_ch)
+    skip = torch.nn.Conv3d(in_ch, out_ch, 1)
+    with torch.no_grad():
+        gn1.weight.copy_(torch.tensor(p["norm1_scale"]))
+        gn1.bias.copy_(torch.tensor(p["norm1_bias"]))
+        gn2.weight.copy_(torch.tensor(p["norm2_scale"]))
+        gn2.bias.copy_(torch.tensor(p["norm2_bias"]))
+        conv1.weight.copy_(torch.tensor(p["conv1_kernel"]).permute(4, 3, 0, 1, 2))
+        conv1.bias.copy_(torch.tensor(p["conv1_bias"]))
+        conv2.weight.copy_(torch.tensor(p["conv2_kernel"]).permute(4, 3, 0, 1, 2))
+        conv2.bias.copy_(torch.tensor(p["conv2_bias"]))
+        lin.weight.copy_(torch.tensor(p["emb_kernel"]).T)
+        lin.bias.copy_(torch.tensor(p["emb_bias"]))
+        skip.weight.copy_(torch.tensor(p["skip_kernel"]).permute(4, 3, 0, 1, 2))
+        skip.bias.copy_(torch.tensor(p["skip_bias"]))
+
+        xt = torch.tensor(x).permute(0, 4, 1, 2, 3)
+        et = torch.tensor(emb)
+        h = conv1(torch.nn.functional.silu(gn1(xt)))
+        h = h + lin(torch.nn.functional.silu(et))[:, :, None, None, None]
+        h = conv2(torch.nn.functional.silu(gn2(h)))
+        want = (skip(xt) + h).permute(0, 2, 3, 4, 1).numpy()
+
+    np.testing.assert_allclose(ours, want, atol=2e-4, rtol=2e-4)
+
+
+def test_attention_block_matches_torch():
+    """AttentionBlock vs torch: GN32 over the flattened sequence, fused qkv
+    projection, per-head softmax(q k^T / sqrt(d)) v, zero-init out proj
+    (unet_openai/unet.py:265-311; our qkv layout is split-3-then-heads, the
+    reference's use_new_attention_order=True parameterization — the two
+    orderings span the same function space with permuted projection rows)."""
+    import jax
+    import jax.numpy as jnp
+    from jointimagegeneration_tpu.nn.blocks import AttentionBlock
+
+    c, heads = 16, 4
+    x = np.random.RandomState(0).randn(2, 4, 4, c).astype(np.float32)
+    blk = AttentionBlock(num_heads=heads, num_head_channels=c // heads)
+    params = blk.init(jax.random.key(0), jnp.asarray(x))
+    p = jax.tree.map(np.asarray, params["params"])
+    # un-zero proj_out
+    p["proj_out"]["kernel"] = np.random.RandomState(1).randn(c, c).astype(np.float32) * 0.1
+    params = {"params": jax.tree.map(jnp.asarray, p)}
+    ours = np.asarray(blk.apply(params, jnp.asarray(x)))
+
+    with torch.no_grad():
+        seq = torch.tensor(x.reshape(2, 16, c))                       # (B, T, C)
+        gn = torch.nn.GroupNorm(math.gcd(c, 32), c, eps=1e-6)
+        gn.weight.copy_(torch.tensor(np.asarray(p["norm"]["GroupNorm_0"]["scale"])))
+        gn.bias.copy_(torch.tensor(np.asarray(p["norm"]["GroupNorm_0"]["bias"])))
+        h = gn(seq.transpose(1, 2)).transpose(1, 2)                   # GN over (C, T)
+        qkv = h @ torch.tensor(p["qkv"]["kernel"]) + torch.tensor(p["qkv"]["bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+        d = c // heads
+        split = lambda t: t.reshape(2, 16, heads, d).permute(0, 2, 1, 3)
+        a = torch.softmax(split(q) @ split(k).transpose(-1, -2) / d**0.5, dim=-1) @ split(v)
+        a = a.permute(0, 2, 1, 3).reshape(2, 16, c)
+        out = a @ torch.tensor(p["proj_out"]["kernel"]) + torch.tensor(p["proj_out"]["bias"])
+        want = (seq + out).reshape(x.shape).numpy()
+
+    np.testing.assert_allclose(ours, want, atol=2e-4, rtol=2e-4)
