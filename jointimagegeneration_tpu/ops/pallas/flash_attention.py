@@ -78,13 +78,91 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref):
         lse_ref[0] = (m_ref[:, :1] + jnp.log(l_ref[:, :1]))
 
 
+def _flash_kernel_pipelined(q_ref, k_ref, kn_ref, v_ref, o_ref, lse_ref,
+                            sbuf_ref, acc_ref, m_ref, l_ref):
+    """Two-stage software pipeline: the scores for k-block j are computed by
+    grid step j-1 into an alternating scratch plane, so the MXU's s_{j+1}
+    dot is issued before (and can overlap) the VPU softmax of s_j — at
+    d_head=32 the plain kernel is ~50/50 VPU/MXU with no overlap
+    (BENCH_NOTES round 2), which this recovers."""
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+    q = q_ref[0]
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        sbuf_ref[0] = jax.lax.dot_general(
+            q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # issue next block's scores first so the scheduler can run it under the
+    # VPU work below (kn_ref is the k block at min(j+1, nk-1))
+    @pl.when(k_idx + 1 < nk)
+    def _next():
+        sbuf_ref[pl.ds((k_idx + 1) % 2, 1)] = jax.lax.dot_general(
+            q, kn_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)[None]
+
+    s = sbuf_ref[pl.ds(k_idx % 2, 1)][0]
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(k_idx == nk - 1)
+    def _emit():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:, :1] + jnp.log(l_ref[:, :1]))
+
+
+# forward variant: True = software-pipelined (s_{j+1} dot overlaps softmax_j)
+PIPELINED_FORWARD = [True]
+
+
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int):
     """(BH, Tq, D) x (BH, Tk, D) -> (BH, Tq, D), (BH, Tq, 1) logsumexp; q pre-scaled."""
     bh, tq, d = q.shape
     tk = k.shape[1]
     bq = min(block_q, tq)
     bk = min(block_k, tk)
-    grid = (bh, tq // bq, tk // bk)
+    nk = tk // bk
+    grid = (bh, tq // bq, nk)
+    pipelined = PIPELINED_FORWARD[0] and nk > 1
+    out_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
+    ]
+    stats_scratch = [
+        pltpu.VMEM((bq, d), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),  # running max, lane-padded
+        pltpu.VMEM((bq, 128), jnp.float32),  # running denom, lane-padded
+    ]
+    if pipelined:
+        return pl.pallas_call(
+            _flash_kernel_pipelined,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i, j, nk=nk: (b, jnp.minimum(j + 1, nk - 1), 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((2, bq, bk), jnp.float32)] + stats_scratch,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+            interpret=_interpret(),
+        )(q, k, k, v)
     return pl.pallas_call(
         _flash_kernel,
         grid=grid,
@@ -93,19 +171,9 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int,
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),  # running max, lane-padded
-            pltpu.VMEM((bq, 128), jnp.float32),  # running denom, lane-padded
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=stats_scratch,
         interpret=_interpret(),
     )(q, k, v)
 
