@@ -94,17 +94,26 @@ def _flash_kernel_pipelined(q_ref, k_ref, kn_ref, v_ref, o_ref, lse_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
-        sbuf_ref[0] = jax.lax.dot_general(
+        sbuf_ref[0, :, :] = jax.lax.dot_general(
             q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
     # issue next block's scores first so the scheduler can run it under the
-    # VPU work below (kn_ref is the k block at min(j+1, nk-1))
-    @pl.when(k_idx + 1 < nk)
-    def _next():
-        sbuf_ref[pl.ds((k_idx + 1) % 2, 1)] = jax.lax.dot_general(
-            q, kn_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)[None]
+    # VPU work below (kn_ref is the k block at min(j+1, nk-1)); static plane
+    # indices via predication — a dynamic pl.ds store here measured 4x slow
+    nxt_plane = (k_idx + 1) % 2
 
-    s = sbuf_ref[pl.ds(k_idx % 2, 1)][0]
+    @pl.when(jnp.logical_and(k_idx + 1 < nk, nxt_plane == 0))
+    def _next0():
+        sbuf_ref[0, :, :] = jax.lax.dot_general(
+            q, kn_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(k_idx + 1 < nk, nxt_plane == 1))
+    def _next1():
+        sbuf_ref[1, :, :] = jax.lax.dot_general(
+            q, kn_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    cur = k_idx % 2
+    s = jax.lax.cond(cur == 0, lambda: sbuf_ref[0, :, :], lambda: sbuf_ref[1, :, :])
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -122,7 +131,7 @@ def _flash_kernel_pipelined(q_ref, k_ref, kn_ref, v_ref, o_ref, lse_ref,
 
 
 # forward variant: True = software-pipelined (s_{j+1} dot overlaps softmax_j)
-PIPELINED_FORWARD = [True]
+PIPELINED_FORWARD = [False]
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int):
