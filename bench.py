@@ -33,16 +33,17 @@ import json
 import os
 import time
 
-# persistent compiled-executable cache: remote (relay-side) compilation of
-# the big scan programs is the dominant cost on this box; caching makes
-# reruns start in seconds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
-
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# persistent compiled-executable cache (TPU only: CPU executables compiled by
+# the remote-compile relay carry its machine features and can SIGILL here):
+# remote compilation of the big scan programs is the dominant cost on this
+# box; caching makes reruns start in seconds
+if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def emit(metric, value, unit):

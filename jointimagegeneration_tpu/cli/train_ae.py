@@ -59,7 +59,7 @@ def main(argv=None):
     shape = (1, size, size, dd.get("in_channels", 1)) if dims == 2 else (1, 16, size, size, dd.get("in_channels", 1))
     g_params = model.init(jax.random.key(0), jnp.zeros(shape), jax.random.key(1))
     d_params = disc.init(jax.random.key(2), jnp.zeros(shape))
-    lr = m.get("base_learning_rate", 4.5e-6) * cfg.get("batch_size", 1) * jax.device_count()
+    lr = m.get("base_learning_rate", 4.5e-6) * cfg.get("batch_size", 1) * mesh.devices.size
     g_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))
     d_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))
     state = GANTrainState.create(g_params, d_params, g_tx, d_tx)

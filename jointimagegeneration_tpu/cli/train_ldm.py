@@ -43,7 +43,9 @@ def main(argv=None):
     base_lr = model_cfg.get("base_learning_rate", 2e-6)
     lr = base_lr
     if cfg.get("scale_lr", True):
-        lr = accumulate * jax.device_count() * batch_size * base_lr
+        # n_gpus in the reference rule (main.py:772-776) = devices the
+        # mesh actually uses, not the backend count
+        lr = accumulate * mesh.devices.size * batch_size * base_lr
 
     loader = DataLoader(
         train_ds, batch_size, seed=cfg.get("seed", 0),

@@ -58,6 +58,30 @@ def _normalize(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     return x / jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + eps)
 
 
+def parse_torch_lpips_sd(sd):
+    """Split a torch state dict into (conv kernels HWIO by position, conv
+    biases, lin heads).  Accepts torchvision VGG16 layout (`features.<slot>.
+    weight/bias`, slots include ReLU/pool positions so convs are taken in
+    sorted-slot order) and/or the LPIPS/taming lin layout
+    (`lin<k>.model.1.weight`).  Shared by the runtime loader and
+    scripts/convert_lpips_weights.py."""
+    conv_w, conv_b, lins = {}, {}, {}
+    conv_keys = sorted(
+        (k for k, v in sd.items() if k.endswith(".weight") and v.ndim == 4 and "lin" not in k),
+        key=lambda k: [int(p) if p.isdigit() else p for p in k.split(".")],
+    )
+    for pos, k in enumerate(conv_keys):
+        conv_w[pos] = np.transpose(np.asarray(sd[k]), (2, 3, 1, 0))  # OIHW -> HWIO
+        bk = k[: -len("weight")] + "bias"
+        if bk in sd:
+            conv_b[pos] = np.asarray(sd[bk])
+    for k, v in sd.items():
+        if "lin" in k and v.ndim == 4 and v.shape[0] == 1:
+            idx = int("".join(ch for ch in k.split(".")[0] if ch.isdigit()) or len(lins))
+            lins[idx] = np.asarray(v).reshape(-1)
+    return conv_w, conv_b, lins
+
+
 class LPIPS:
     def __init__(self, weights_path: Optional[str] = None):
         self.net = _VGG16Features()
@@ -88,21 +112,7 @@ class LPIPS:
         sd = torch.load(path, map_location="cpu")
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        conv_w, conv_b, lins = {}, {}, {}
-        conv_keys = sorted(
-            (k for k, v in sd.items() if k.endswith(".weight") and v.ndim == 4 and "lin" not in k),
-            key=lambda k: [int(p) if p.isdigit() else p for p in k.split(".")],
-        )
-        for pos, k in enumerate(conv_keys):
-            conv_w[pos] = np.transpose(sd[k].numpy(), (2, 3, 1, 0))  # OIHW -> HWIO
-            bk = k[: -len("weight")] + "bias"
-            if bk in sd:
-                conv_b[pos] = sd[bk].numpy()
-        for k, v in sd.items():
-            if "lin" in k and v.ndim == 4 and v.shape[0] == 1:
-                idx = int("".join(ch for ch in k.split(".")[0] if ch.isdigit()) or len(lins))
-                lins[idx] = v.numpy().reshape(-1)
-        self._install(conv_w, conv_b, lins)
+        self._install(*parse_torch_lpips_sd(sd))
 
     def _install(self, conv_w: dict, conv_b: dict, lins: dict) -> None:
         params = jax.device_get(self.params)

@@ -57,14 +57,20 @@ def make_mesh(
 
 
 def make_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
-    """Mesh whose data axis divides `batch_size` — uses the largest
-    compatible device subset instead of crashing when batch % n_devices != 0
-    (e.g. a debug batch of 2 on an 8-device backend)."""
-    import math
-
+    """Mesh whose data axis divides `batch_size` — single-host runs use the
+    largest batch divisor <= the available data extent instead of crashing
+    when batch % n_devices != 0 (e.g. a debug batch of 2 on an 8-device
+    backend).  Multihost runs never subset (a device-prefix mesh could
+    exclude some process's local devices entirely), they demand a divisible
+    batch up front."""
     devices = list(jax.devices())
-    max_data = len(devices) // model
-    data = math.gcd(max(1, batch_size), max_data) if max_data else 1
+    max_data = max(1, len(devices) // model)
+    if jax.process_count() > 1:
+        assert batch_size % max_data == 0, (
+            f"multihost: global batch {batch_size} must be divisible by the "
+            f"data axis {max_data} ({len(devices)} devices / model={model})")
+        return make_mesh(data=max_data, model=model, devices=devices[: max_data * model])
+    data = max(d for d in range(1, max_data + 1) if max(1, batch_size) % d == 0)
     use = devices[: data * model]
     if len(use) < len(devices) and is_chief():
         print(f"mesh: batch_size={batch_size} not divisible by {len(devices)} devices; "

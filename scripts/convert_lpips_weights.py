@@ -40,28 +40,25 @@ def main():
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jointimagegeneration_tpu.eval.lpips import parse_torch_lpips_sd
+
     out = {}
     if args.vgg16:
-        sd = load_torch_sd(args.vgg16)
-        conv_keys = sorted(
-            (k for k, v in sd.items() if k.endswith(".weight") and v.ndim == 4),
-            key=lambda k: [int(p) if p.isdigit() else p for p in k.split(".")],
-        )
-        for pos, k in enumerate(conv_keys):
-            out[f"conv_{pos}_kernel"] = np.transpose(sd[k].numpy(), (2, 3, 1, 0))
-            bk = k[: -len("weight")] + "bias"
-            if bk in sd:
-                out[f"conv_{pos}_bias"] = sd[bk].numpy()
-        print(f"converted {len(conv_keys)} convs from {args.vgg16}")
+        conv_w, conv_b, _ = parse_torch_lpips_sd(load_torch_sd(args.vgg16))
+        for pos, kern in conv_w.items():
+            out[f"conv_{pos}_kernel"] = kern
+            if pos in conv_b:
+                out[f"conv_{pos}_bias"] = conv_b[pos]
+        print(f"converted {len(conv_w)} convs from {args.vgg16}")
     if args.lins:
-        sd = load_torch_sd(args.lins)
-        n = 0
-        for k, v in sd.items():
-            if "lin" in k and v.ndim == 4 and v.shape[0] == 1:
-                idx = int("".join(ch for ch in k.split(".")[0] if ch.isdigit()) or n)
-                out[f"lin_{idx}"] = v.numpy().reshape(-1)
-                n += 1
-        print(f"converted {n} lin heads from {args.lins}")
+        _, _, lins = parse_torch_lpips_sd(load_torch_sd(args.lins))
+        for idx, w in lins.items():
+            out[f"lin_{idx}"] = w
+        print(f"converted {len(lins)} lin heads from {args.lins}")
     np.savez(args.out, **out)
     print(f"wrote {args.out} ({len(out)} arrays)")
 

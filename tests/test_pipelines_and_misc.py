@@ -64,3 +64,38 @@ def test_set_host_seeds():
     a = np.random.rand()
     set_host_seeds(7)
     assert np.random.rand() == a
+
+
+def test_convert_legacy_resblock_params():
+    """Round-1 nested ResBlock checkpoints load through the converter: the
+    rewritten tree must apply cleanly to the flat-param ResBlock and match
+    the reference math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jointimagegeneration_tpu.nn.blocks import ResBlock
+    from jointimagegeneration_tpu.utils.misc import convert_legacy_resblock_params
+
+    rb = ResBlock(8, dims=3)
+    x = jax.random.normal(jax.random.key(0), (1, 4, 8, 8, 4))
+    emb = jax.random.normal(jax.random.key(1), (1, 12))
+    flat = rb.init(jax.random.key(2), x, emb)["params"]
+
+    legacy = {
+        "down_0_0_res": {
+            "in_norm": {"GroupNorm_0": {"scale": flat["norm1_scale"], "bias": flat["norm1_bias"]}},
+            "in_conv": {"kernel": flat["conv1_kernel"], "bias": flat["conv1_bias"]},
+            "emb_proj": {"kernel": flat["emb_kernel"], "bias": flat["emb_bias"]},
+            "out_norm": {"GroupNorm_0": {"scale": flat["norm2_scale"], "bias": flat["norm2_bias"]}},
+            "out_conv": {"kernel": flat["conv2_kernel"], "bias": flat["conv2_bias"]},
+            "skip": {"kernel": flat["skip_kernel"], "bias": flat["skip_bias"]},
+        },
+        "other": {"kernel": jnp.ones((2, 2))},
+    }
+    got = convert_legacy_resblock_params(legacy)
+    assert set(got["down_0_0_res"]) == set(flat)
+    np.testing.assert_array_equal(got["other"]["kernel"], legacy["other"]["kernel"])
+    y1 = rb.apply({"params": got["down_0_0_res"]}, x, emb)
+    y2 = rb.apply({"params": flat}, x, emb)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))

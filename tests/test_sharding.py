@@ -142,6 +142,7 @@ def test_make_mesh_for_batch_uses_compatible_subset():
 
     assert make_mesh_for_batch(2).devices.size == 2
     assert make_mesh_for_batch(8).devices.size == 8
-    assert make_mesh_for_batch(3).devices.size == 1
+    assert make_mesh_for_batch(3).devices.size == 3
+    assert make_mesh_for_batch(6).devices.size == 6  # largest divisor, not gcd
     assert make_mesh_for_batch(4, model=2).devices.size == 8
     assert make_mesh_for_batch(16).devices.size == 8
