@@ -56,10 +56,18 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
 
 
-def test_flash_rejects_ragged():
-    q = jnp.zeros((1, 1, 100, 16))
+def test_flash_block_fallback_and_limits():
+    """Sequence lengths not divisible by the block default halve down to a
+    divisor (so e.g. 96 still runs the flash path); only oversized head
+    dims are rejected."""
+    import math
+
+    q = jnp.zeros((1, 1, 96, 16))
+    out = flash_attention(q, q, q, block_q=64, block_k=64)  # bq falls to 32
+    assert out.shape == q.shape
     with pytest.raises(ValueError):
-        flash_attention(q, q, q, block_q=64, block_k=64)
+        flash_attention(jnp.zeros((1, 1, 64, 512)), jnp.zeros((1, 1, 64, 512)),
+                        jnp.zeros((1, 1, 64, 512)))
 
 
 @pytest.mark.slow
