@@ -129,42 +129,69 @@ def main(argv=None):
             context = jnp.asarray(FrozenBERTEmbedder(tcfg["bert_path"])(tcfg.get("prompt", "")))
 
     t_start = time.perf_counter()
+    if stage == "mask":
+        # multi-volume sampling: cases run in batches of `batch_size`, the
+        # batch axis sharded over the mesh's data axis — one volume per chip
+        # (BASELINE milestone #5; per-chip batching >1 measurably HURTS on a
+        # single chip, BENCH_NOTES).  batch_size=1 is the single-device path.
+        ds = build_mask_dataset(cfg.get("stage1", cfg), "val")
+        bs = int(cfg.get("batch_size", 1))
+        n_rep = cfg.get("samples", 1)  # GED protocol (params.yml:26)
+        mesh = None
+        if bs > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh_for_batch, replicate
+
+            mesh = make_mesh_for_batch(bs)
+            ms_params = replicate(mesh, ms_params)
+            batch_sharding = NamedSharding(mesh, P("data"))
+        for c0 in range(0, n_cases, bs):
+            key, sub = jax.random.split(key)
+            cases = list(range(c0, min(c0 + bs, n_cases)))
+            items = [ds[i % len(ds)] for i in cases]
+            cond = jnp.stack([jnp.asarray(it["image"]) for it in items])
+            pad = bs - len(cases)
+            if pad:  # ragged tail keeps the compiled batch shape
+                cond = jnp.concatenate([cond, jnp.tile(cond[-1:], (pad, 1, 1, 1, 1))])
+            ctx = None if context is None else jnp.tile(context, (cond.shape[0], 1, 1))
+            if mesh is not None:
+                cond = jax.device_put(cond, batch_sharding)
+            draws = []
+            for r in range(n_rep):
+                labels = ms.sample_labels(
+                    ms_params, jax.random.fold_in(sub, r), (cond.shape[0], *spatial),
+                    cond=cond, context=ctx, num_steps=cfg.get("mask_steps", 250),
+                )
+                draws.append(np.asarray(labels))
+            for j, i in enumerate(cases):
+                case_dir = outdir / f"case_{i:04d}"
+                case_dir.mkdir(exist_ok=True)
+                labels = draws[0][j]
+                save_label_volume(case_dir / "pred.nii.gz", labels)
+                save_grid_png(case_dir / "pred.png", labels_to_grid(labels))
+                gt = np.argmax(items[j]["mask"], -1)
+                save_label_volume(case_dir / "gt.nii.gz", gt)
+                dice = np.asarray(per_class_dice(jnp.asarray(labels), jnp.asarray(gt), ms.num_classes))
+                msg = f"case {i}: mean fg dice {dice[1:].mean():.4f}"
+                if n_rep > 1:
+                    from ..eval.metrics import generalized_energy_distance, hungarian_matched_iou
+
+                    case_draws = np.stack([d[j] for d in draws])
+                    ged = generalized_energy_distance(case_draws, gt[None], ms.num_classes)
+                    hm = hungarian_matched_iou(case_draws, np.stack([gt] * n_rep), ms.num_classes)
+                    msg += f" GED {ged:.4f} HM-IoU {hm:.4f}"
+                print(msg)
+        dt = time.perf_counter() - t_start
+        print(f"{n_cases} case(s) in {dt:.1f}s ({dt/n_cases:.1f}s/case)")
+        return
+
     for i in range(n_cases):
         key, sub = jax.random.split(key)
         case_dir = outdir / f"case_{i:04d}"
         case_dir.mkdir(exist_ok=True)
 
-        if stage == "mask":
-            ds = build_mask_dataset(cfg.get("stage1", cfg), "val")
-            item = ds[i % len(ds)]
-            # multiple draws per case for distribution metrics (the
-            # reference's `samples: 12` GED protocol, params.yml:26)
-            n_rep = cfg.get("samples", 1)
-            draws = []
-            for r in range(n_rep):
-                labels = ms.sample_labels(
-                    ms_params, jax.random.fold_in(sub, r), (1, *spatial),
-                    cond=jnp.asarray(item["image"])[None],
-                    context=context,
-                    num_steps=cfg.get("mask_steps", 250),
-                )
-                draws.append(np.asarray(labels[0]))
-            labels = draws[0]
-            save_label_volume(case_dir / "pred.nii.gz", labels)
-            save_grid_png(case_dir / "pred.png", labels_to_grid(labels))
-            gt = np.argmax(item["mask"], -1)
-            save_label_volume(case_dir / "gt.nii.gz", gt)
-            dice = np.asarray(per_class_dice(jnp.asarray(labels), jnp.asarray(gt), ms.num_classes))
-            msg = f"case {i}: mean fg dice {dice[1:].mean():.4f}"
-            if n_rep > 1:
-                from ..eval.metrics import generalized_energy_distance, hungarian_matched_iou
-
-                ged = generalized_energy_distance(np.stack(draws), gt[None], ms.num_classes)
-                hm = hungarian_matched_iou(np.stack(draws), np.stack([gt] * n_rep), ms.num_classes)
-                msg += f" GED {ged:.4f} HM-IoU {hm:.4f}"
-            print(msg)
-
-        elif stage == "ct":
+        if stage == "ct":
             ds = build_slice_dataset(cfg.get("stage2", cfg), "val")
             item = ds[i % len(ds)]
             if latent is not None:

@@ -433,3 +433,30 @@ def test_trainer_dumps_run_config(tmp_path):
 
     dumped = yaml.safe_load((tmp_path / "run" / "configs" / "run-config.yaml").read_text())
     assert dumped["num_classes"] == 4 and dumped["optim"]["name"] == "AdamW"
+
+
+@pytest.mark.slow
+def test_sample_cli_batched_mask_over_mesh(tmp_path):
+    """Milestone #5: multi-volume mask sampling with the batch sharded over
+    the data mesh axis, ragged tail included — every case writes outputs."""
+    import yaml
+
+    from jointimagegeneration_tpu.cli import sample as sample_cli
+
+    cfg = {
+        "stage": "mask", "output_path": str(tmp_path), "seed": 7,
+        "n_cases": 3, "mask_steps": 2, "batch_size": 2, "samples": 1,
+        "stage1": {
+            "num_classes": 4, "time_steps": 6, "beta_schedule": "cosine", "bf16": False,
+            "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                            "attention_resolutions": [2], "num_res_blocks": 1,
+                            "num_head_channels": 4},
+            "dataset": {"kind": "synthetic", "volume_shape": [4, 8, 8], "num_cases": 3},
+        },
+    }
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    sample_cli.main([str(p)])
+    for i in range(3):
+        assert (tmp_path / f"case_{i:04d}" / "pred.nii.gz").exists()
+        assert (tmp_path / f"case_{i:04d}" / "gt.nii.gz").exists()
