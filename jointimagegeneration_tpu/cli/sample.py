@@ -186,7 +186,8 @@ def main(argv=None):
         print(f"{n_cases} case(s) in {dt:.1f}s ({dt/n_cases:.1f}s/case)")
         return
 
-    for i in range(n_cases):
+    i = 0
+    while i < n_cases:
         key, sub = jax.random.split(key)
         case_dir = outdir / f"case_{i:04d}"
         case_dir.mkdir(exist_ok=True)
@@ -209,23 +210,41 @@ def main(argv=None):
                 vol = np.asarray(vol[0, ..., 0])
             save_image_volume(case_dir / "image.nii.gz", vol)
             save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))
+            i += 1
 
         else:  # two_stage
             pipe = TwoStagePipeline(ms, ldm)
             vshape = tuple(cfg.get("volume_shape", (128, 256, 256)))
+            # whole-pipeline batching: `batch_size` volumes generated in one
+            # jitted call with the batch axis over the mesh's data axis (one
+            # volume per chip); the autoregressive z-scan runs all volumes
+            # in lockstep.  i advances by the batch.
+            bs = min(int(cfg.get("batch_size", 1)), n_cases - i)
+            if bs > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import make_mesh_for_batch, replicate
+
+                mesh = make_mesh_for_batch(bs)
+                ms_params = replicate(mesh, ms_params)
+                ldm_params = replicate(mesh, ldm_params)
             ct, labels = pipe(
                 ms_params, ldm_params, sub,
-                mask_shape=(1, *spatial), volume_shape=vshape, ddim=ddim,
+                mask_shape=(bs, *spatial), volume_shape=vshape, ddim=ddim,
                 mask_steps=cfg.get("mask_steps", 250),
                 # zeros image condition — the checked-in stage-1 config
                 # conditions on a zero image channel (ruijin.py:181-182)
-                cond=jnp.zeros((1, *spatial, 1)),
-                context=context,
+                cond=jnp.zeros((bs, *spatial, 1)),
+                context=None if context is None else jnp.tile(context, (bs, 1, 1)),
             )
-            save_image_volume(case_dir / "image.nii.gz", np.asarray(ct[0, ..., 0]))
-            save_label_volume(case_dir / "pred.nii.gz", np.asarray(labels[0]))
-            save_grid_png(case_dir / "image.png", image_volume_to_grid(np.asarray(ct[0, ..., 0])))
-            save_grid_png(case_dir / "pred.png", labels_to_grid(np.asarray(labels[0])))
+            for j in range(bs):
+                cdir = outdir / f"case_{i + j:04d}"
+                cdir.mkdir(exist_ok=True)
+                save_image_volume(cdir / "image.nii.gz", np.asarray(ct[j, ..., 0]))
+                save_label_volume(cdir / "pred.nii.gz", np.asarray(labels[j]))
+                save_grid_png(cdir / "image.png", image_volume_to_grid(np.asarray(ct[j, ..., 0])))
+                save_grid_png(cdir / "pred.png", labels_to_grid(np.asarray(labels[j])))
+            i += bs
 
     dt = time.perf_counter() - t_start
     print(f"{n_cases} case(s) in {dt:.1f}s ({dt/n_cases:.1f}s/case)")

@@ -460,3 +460,37 @@ def test_sample_cli_batched_mask_over_mesh(tmp_path):
     for i in range(3):
         assert (tmp_path / f"case_{i:04d}" / "pred.nii.gz").exists()
         assert (tmp_path / f"case_{i:04d}" / "gt.nii.gz").exists()
+
+
+@pytest.mark.slow
+def test_sample_cli_batched_two_stage(tmp_path):
+    """Whole-pipeline batching: two_stage generates batch_size volumes per
+    jitted call with the batch over the data mesh, ragged tail per-case."""
+    import yaml
+
+    from jointimagegeneration_tpu.cli import sample as sample_cli
+
+    cfg = {
+        "stage": "two_stage", "output_path": str(tmp_path), "seed": 3,
+        "n_cases": 3, "batch_size": 2, "mask_steps": 2, "ddim_steps": 2,
+        "volume_shape": [4, 16, 16],
+        "stage1": {
+            "num_classes": 4, "time_steps": 6, "beta_schedule": "cosine", "bf16": False,
+            "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                            "attention_resolutions": [2], "num_res_blocks": 1,
+                            "num_head_channels": 4},
+            "dataset": {"kind": "synthetic", "volume_shape": [4, 8, 8]},
+        },
+        "stage2": {
+            "slice_size": 16, "channels": 1, "cond_channels": 2, "timesteps": 6,
+            "linear_start": 0.0015, "linear_end": 0.0195, "bf16": False,
+            "unet_config": {"params": {"model_channels": 8, "channel_mult": [1, 2],
+                                        "attention_resolutions": [2], "num_head_channels": 4}},
+        },
+    }
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    sample_cli.main([str(p)])
+    for i in range(3):
+        assert (tmp_path / f"case_{i:04d}" / "image.nii.gz").exists()
+        assert (tmp_path / f"case_{i:04d}" / "pred.nii.gz").exists()
