@@ -40,7 +40,7 @@ import jax.numpy as jnp
 # the remote-compile relay carry its machine features and can SIGILL here):
 # remote compilation of the big scan programs is the dominant cost on this
 # box; caching makes reruns start in seconds
-if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+if jax.default_backend() != "cpu":
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

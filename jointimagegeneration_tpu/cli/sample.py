@@ -139,13 +139,10 @@ def main(argv=None):
         n_rep = cfg.get("samples", 1)  # GED protocol (params.yml:26)
         mesh = None
         if bs > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.mesh import make_mesh_for_batch, replicate
+            from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 
             mesh = make_mesh_for_batch(bs)
             ms_params = replicate(mesh, ms_params)
-            batch_sharding = NamedSharding(mesh, P("data"))
         for c0 in range(0, n_cases, bs):
             key, sub = jax.random.split(key)
             cases = list(range(c0, min(c0 + bs, n_cases)))
@@ -156,7 +153,8 @@ def main(argv=None):
                 cond = jnp.concatenate([cond, jnp.tile(cond[-1:], (pad, 1, 1, 1, 1))])
             ctx = None if context is None else jnp.tile(context, (cond.shape[0], 1, 1))
             if mesh is not None:
-                cond = jax.device_put(cond, batch_sharding)
+                # shard_batch handles multihost placement too
+                cond = shard_batch(mesh, cond)
             draws = []
             for r in range(n_rep):
                 labels = ms.sample_labels(
@@ -183,11 +181,49 @@ def main(argv=None):
                     msg += f" GED {ged:.4f} HM-IoU {hm:.4f}"
                 print(msg)
         dt = time.perf_counter() - t_start
-        print(f"{n_cases} case(s) in {dt:.1f}s ({dt/n_cases:.1f}s/case)")
+        print(f"{n_cases} case(s) in {dt:.1f}s ({dt/max(n_cases, 1):.1f}s/case)")
         return
 
-    i = 0
-    while i < n_cases:
+    if stage == "two_stage":
+        # whole-pipeline batching (mirrors the mask branch): `batch_size`
+        # volumes per jitted call, batch axis over the mesh's data axis (one
+        # volume per chip), autoregressive z-scan in lockstep; ragged tail
+        # padded so the big scan program compiles once.
+        pipe = TwoStagePipeline(ms, ldm)
+        vshape = tuple(cfg.get("volume_shape", (128, 256, 256)))
+        bs = max(1, min(int(cfg.get("batch_size", 1)), n_cases))
+        mesh = None
+        if bs > 1:
+            from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+
+            mesh = make_mesh_for_batch(bs)
+            ms_params = replicate(mesh, ms_params)
+            ldm_params = replicate(mesh, ldm_params)
+        ctx = None if context is None else jnp.tile(context, (bs, 1, 1))
+        for c0 in range(0, n_cases, bs):
+            key, sub = jax.random.split(key)
+            # zeros image condition — the checked-in stage-1 config
+            # conditions on a zero image channel (ruijin.py:181-182)
+            cond = jnp.zeros((bs, *spatial, 1))
+            if mesh is not None:
+                cond = shard_batch(mesh, cond)
+            ct, labels = pipe(
+                ms_params, ldm_params, sub,
+                mask_shape=(bs, *spatial), volume_shape=vshape, ddim=ddim,
+                mask_steps=cfg.get("mask_steps", 250), cond=cond, context=ctx,
+            )
+            for j in range(min(bs, n_cases - c0)):
+                cdir = outdir / f"case_{c0 + j:04d}"
+                cdir.mkdir(exist_ok=True)
+                save_image_volume(cdir / "image.nii.gz", np.asarray(ct[j, ..., 0]))
+                save_label_volume(cdir / "pred.nii.gz", np.asarray(labels[j]))
+                save_grid_png(cdir / "image.png", image_volume_to_grid(np.asarray(ct[j, ..., 0])))
+                save_grid_png(cdir / "pred.png", labels_to_grid(np.asarray(labels[j])))
+        dt = time.perf_counter() - t_start
+        print(f"{n_cases} case(s) in {dt:.1f}s ({dt/max(n_cases, 1):.1f}s/case)")
+        return
+
+    for i in range(n_cases):  # stage == "ct": per-case autoregressive volumes
         key, sub = jax.random.split(key)
         case_dir = outdir / f"case_{i:04d}"
         case_dir.mkdir(exist_ok=True)
@@ -210,44 +246,9 @@ def main(argv=None):
                 vol = np.asarray(vol[0, ..., 0])
             save_image_volume(case_dir / "image.nii.gz", vol)
             save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))
-            i += 1
-
-        else:  # two_stage
-            pipe = TwoStagePipeline(ms, ldm)
-            vshape = tuple(cfg.get("volume_shape", (128, 256, 256)))
-            # whole-pipeline batching: `batch_size` volumes generated in one
-            # jitted call with the batch axis over the mesh's data axis (one
-            # volume per chip); the autoregressive z-scan runs all volumes
-            # in lockstep.  i advances by the batch.
-            bs = min(int(cfg.get("batch_size", 1)), n_cases - i)
-            if bs > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from ..parallel.mesh import make_mesh_for_batch, replicate
-
-                mesh = make_mesh_for_batch(bs)
-                ms_params = replicate(mesh, ms_params)
-                ldm_params = replicate(mesh, ldm_params)
-            ct, labels = pipe(
-                ms_params, ldm_params, sub,
-                mask_shape=(bs, *spatial), volume_shape=vshape, ddim=ddim,
-                mask_steps=cfg.get("mask_steps", 250),
-                # zeros image condition — the checked-in stage-1 config
-                # conditions on a zero image channel (ruijin.py:181-182)
-                cond=jnp.zeros((bs, *spatial, 1)),
-                context=None if context is None else jnp.tile(context, (bs, 1, 1)),
-            )
-            for j in range(bs):
-                cdir = outdir / f"case_{i + j:04d}"
-                cdir.mkdir(exist_ok=True)
-                save_image_volume(cdir / "image.nii.gz", np.asarray(ct[j, ..., 0]))
-                save_label_volume(cdir / "pred.nii.gz", np.asarray(labels[j]))
-                save_grid_png(cdir / "image.png", image_volume_to_grid(np.asarray(ct[j, ..., 0])))
-                save_grid_png(cdir / "pred.png", labels_to_grid(np.asarray(labels[j])))
-            i += bs
 
     dt = time.perf_counter() - t_start
-    print(f"{n_cases} case(s) in {dt:.1f}s ({dt/n_cases:.1f}s/case)")
+    print(f"{n_cases} case(s) in {dt:.1f}s ({dt/max(n_cases, 1):.1f}s/case)")
 
 
 if __name__ == "__main__":

@@ -45,7 +45,20 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self._mgr.restore(step, args=self._ocp.args.StandardRestore(state_template))
+        try:
+            return self._mgr.restore(step, args=self._ocp.args.StandardRestore(state_template))
+        except Exception:
+            # legacy (round-1) checkpoints name ResBlock params as nested
+            # submodules; restore raw, rewrite to the flat layout, then
+            # re-shape onto the template
+            import flax.serialization
+
+            from ..utils.misc import convert_legacy_resblock_params
+
+            raw = self._mgr.restore(step, args=self._ocp.args.StandardRestore())
+            converted = convert_legacy_resblock_params(raw)
+            # name-based mapping onto the template (robust to key ordering)
+            return flax.serialization.from_state_dict(state_template, converted)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

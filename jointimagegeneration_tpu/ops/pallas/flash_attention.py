@@ -340,12 +340,14 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     d = q.shape[-1]
     q = q * (1.0 / math.sqrt(d))
     # halve blocks down to a divisor so e.g. T=1536 still takes the flash
-    # path (bq=512) instead of silently falling back to O(T^2) XLA attention
+    # path (bq=512) instead of silently falling back to O(T^2) XLA attention;
+    # below a 128-block floor tiny blocks would be slower than the XLA
+    # fallback this raise selects (via attention.py's dispatch)
     bq = min(block_q, q.shape[2])
-    while bq > 1 and q.shape[2] % bq:
+    while bq >= 128 and q.shape[2] % bq:
         bq //= 2
     bk = min(block_k, k.shape[2])
-    while bk > 1 and k.shape[2] % bk:
+    while bk >= 128 and k.shape[2] % bk:
         bk //= 2
     if q.shape[2] % bq or k.shape[2] % bk or d > 256:
         raise ValueError(f"flash_attention: unsupported shape q={q.shape} k={k.shape}")

@@ -66,10 +66,13 @@ def make_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
     devices = list(jax.devices())
     max_data = max(1, len(devices) // model)
     if jax.process_count() > 1:
+        assert len(devices) % model == 0, (
+            f"multihost: {len(devices)} devices not divisible by model={model} "
+            f"(a device-prefix subset could strand a process)")
         assert batch_size % max_data == 0, (
             f"multihost: global batch {batch_size} must be divisible by the "
             f"data axis {max_data} ({len(devices)} devices / model={model})")
-        return make_mesh(data=max_data, model=model, devices=devices[: max_data * model])
+        return make_mesh(data=max_data, model=model, devices=devices)
     data = max(d for d in range(1, max_data + 1) if max(1, batch_size) % d == 0)
     use = devices[: data * model]
     if len(use) < len(devices) and is_chief():

@@ -57,14 +57,16 @@ def test_flash_gradients_match_xla():
 
 
 def test_flash_block_fallback_and_limits():
-    """Sequence lengths not divisible by the block default halve down to a
-    divisor (so e.g. 96 still runs the flash path); only oversized head
-    dims are rejected."""
-    import math
-
-    q = jnp.zeros((1, 1, 96, 16))
-    out = flash_attention(q, q, q, block_q=64, block_k=64)  # bq falls to 32
+    """Sequence lengths divisible by a >=128 power-of-two block halve down to
+    it (T=1536 -> 512-blocks); lengths with no such divisor raise so the
+    dispatch layer falls back to XLA attention instead of a degenerate
+    tiny-block kernel; oversized head dims are rejected."""
+    q = jnp.zeros((1, 1, 1536, 16))
+    out = flash_attention(q, q, q)  # 1024 -> 512 fallback
     assert out.shape == q.shape
+    with pytest.raises(ValueError):
+        flash_attention(jnp.zeros((1, 1, 1100, 16)), jnp.zeros((1, 1, 1100, 16)),
+                        jnp.zeros((1, 1, 1100, 16)))  # best divisor < 128
     with pytest.raises(ValueError):
         flash_attention(jnp.zeros((1, 1, 64, 512)), jnp.zeros((1, 1, 64, 512)),
                         jnp.zeros((1, 1, 64, 512)))

@@ -99,3 +99,45 @@ def test_convert_legacy_resblock_params():
     y1 = rb.apply({"params": got["down_0_0_res"]}, x, emb)
     y2 = rb.apply({"params": flat}, x, emb)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_checkpoint_restores_legacy_resblock_layout(tmp_path):
+    """A round-1 checkpoint (nested ResBlock submodule names) restores
+    through CheckpointManager via the legacy converter."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jointimagegeneration_tpu.core.checkpoint import CheckpointManager
+    from jointimagegeneration_tpu.nn.blocks import ResBlock
+    from jointimagegeneration_tpu.train import EMATrainState, build_optimizer
+
+    rb = ResBlock(8, dims=3)
+    x = jnp.zeros((1, 4, 8, 8, 8))
+    emb = jnp.zeros((1, 12))
+    flat = rb.init(jax.random.key(0), x, emb)
+    template = EMATrainState.create(flat, build_optimizer("Adam", 1e-3))
+
+    # forge the round-1 layout: nested submodule dicts instead of flat keys
+    f = flat["params"]
+    legacy_params = {"params": {
+        "in_norm": {"GroupNorm_0": {"scale": f["norm1_scale"] + 1, "bias": f["norm1_bias"]}},
+        "in_conv": {"kernel": f["conv1_kernel"], "bias": f["conv1_bias"]},
+        "emb_proj": {"kernel": f["emb_kernel"], "bias": f["emb_bias"]},
+        "out_norm": {"GroupNorm_0": {"scale": f["norm2_scale"], "bias": f["norm2_bias"]}},
+        "out_conv": {"kernel": f["conv2_kernel"], "bias": f["conv2_bias"]},
+    }}
+    legacy_state = flax.serialization.to_state_dict(template)
+    legacy_state["params"] = legacy_params
+    legacy_state["ema_params"] = legacy_params
+
+    ck = CheckpointManager(tmp_path / "ck")
+    ck.save(1, legacy_state)
+    ck.wait()
+    restored = ck.restore(template)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["params"]["norm1_scale"]),
+        np.asarray(f["norm1_scale"]) + 1,
+    )
+    ck.close()
