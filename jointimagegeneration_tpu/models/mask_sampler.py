@@ -76,6 +76,7 @@ class MaskSampler:
         dtype=jnp.float32,
         step_T_sample: str = "majority",
         remat: bool = False,
+        remat_levels: Optional[Sequence[int]] = None,
         spatial_axis: Optional[str] = None,
         text_refiner: Optional[dict] = None,
         use_fused_resblock: object = False,
@@ -95,6 +96,7 @@ class MaskSampler:
             context_dim=context_dim,
             dtype=dtype,
             remat=remat,
+            remat_levels=None if remat_levels is None else tuple(remat_levels),
             spatial_axis=spatial_axis,
             use_fused_resblock=use_fused_resblock,
         )

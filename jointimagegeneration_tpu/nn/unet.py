@@ -71,6 +71,12 @@ class UNet(nn.Module):
     # compute dtype for the torso (params always fp32):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # selective remat: only these encoder/decoder levels rematerialise
+    # (None = all levels when `remat`).  Deep levels have small activations
+    # whose storage is cheap but whose recompute still costs FLOPs — rematting
+    # only the big-activation shallow levels keeps the memory win while
+    # skipping most recompute (reference remats every block, nn.py:124-170)
+    remat_levels: Optional[Sequence[int]] = None
     # shard the leading spatial axis over this mesh axis (sequence/spatial
     # parallelism over ICI; XLA inserts the conv halo exchanges) — the
     # 'model' axis of parallel.make_mesh for big 512^2 / 128^3 activations:
@@ -146,7 +152,16 @@ class UNet(nn.Module):
         )
         # rematerialise each ResBlock under grad (reference: per-block
         # CheckpointFunction, unet_openai/nn.py:124-170)
-        Res = nn.remat(ResBlock, static_argnums=(3,)) if self.remat else ResBlock
+        RematRes = nn.remat(ResBlock, static_argnums=(3,))
+
+        def res_for(level):
+            if not self.remat:
+                return ResBlock
+            if self.remat_levels is not None and level not in self.remat_levels:
+                return ResBlock
+            return RematRes
+
+        Res = RematRes if self.remat else ResBlock
 
         # --- encoder ------------------------------------------------------
         h = inject(h, 0)
@@ -157,7 +172,7 @@ class UNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 h = inject(h, block_idx)
-                h = Res(int(mult * mc), **res_args, name=f"down_{level}_{i}_res")(h, emb, deterministic)
+                h = res_for(level)(int(mult * mc), **res_args, name=f"down_{level}_{i}_res")(h, emb, deterministic)
                 if ds in self.attention_resolutions:
                     h = self._attn(h.shape[-1], f"down_{level}_{i}_attn")(
                         *( (h, context) if self.context_dim is not None else (h,) )
@@ -167,7 +182,7 @@ class UNet(nn.Module):
             if level != len(self.channel_mult) - 1:
                 h = inject(h, block_idx)
                 if self.resblock_updown:
-                    h = Res(h.shape[-1], **res_args, down=True, name=f"down_{level}_ds")(h, emb, deterministic)
+                    h = res_for(level)(h.shape[-1], **res_args, down=True, name=f"down_{level}_ds")(h, emb, deterministic)
                 else:
                     h = Downsample(self.dims, self.conv_resample, name=f"down_{level}_ds")(h)
                 hs.append(h)
@@ -175,24 +190,24 @@ class UNet(nn.Module):
                 ds *= 2
 
         # --- middle ---------------------------------------------------------
-        h = Res(h.shape[-1], **res_args, name="mid_res1")(h, emb, deterministic)
+        h = res_for(len(self.channel_mult) - 1)(h.shape[-1], **res_args, name="mid_res1")(h, emb, deterministic)
         h = self._attn(h.shape[-1], "mid_attn")(
             *( (h, context) if self.context_dim is not None else (h,) )
         )
-        h = Res(h.shape[-1], **res_args, name="mid_res2")(h, emb, deterministic)
+        h = res_for(len(self.channel_mult) - 1)(h.shape[-1], **res_args, name="mid_res2")(h, emb, deterministic)
 
         # --- decoder ----------------------------------------------------------
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = Res(int(mult * mc), **res_args, name=f"up_{level}_{i}_res")(h, emb, deterministic)
+                h = res_for(level)(int(mult * mc), **res_args, name=f"up_{level}_{i}_res")(h, emb, deterministic)
                 if ds in self.attention_resolutions:
                     h = self._attn(h.shape[-1], f"up_{level}_{i}_attn")(
                         *( (h, context) if self.context_dim is not None else (h,) )
                     )
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
-                        h = Res(h.shape[-1], **res_args, up=True, name=f"up_{level}_us")(h, emb, deterministic)
+                        h = res_for(level)(h.shape[-1], **res_args, up=True, name=f"up_{level}_us")(h, emb, deterministic)
                     else:
                         h = Upsample(self.dims, self.conv_resample, name=f"up_{level}_us")(h)
                     ds //= 2
