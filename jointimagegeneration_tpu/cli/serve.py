@@ -77,19 +77,34 @@ def make_handler(state: dict):
                 t0 = time.perf_counter()
                 if kind == "mask":
                     ms, msp, spatial = state["ms"], state["ms_params"], state["spatial"]
-                    labels = np.asarray(
+                    # "batch": N samples N volumes in one jitted call, batch
+                    # axis over the data mesh when multiple devices exist
+                    bs = max(1, int(req.get("batch", 1)))
+                    cond = jnp.zeros((bs, *spatial, 1))
+                    if bs > 1 and len(jax.devices()) > 1:
+                        from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+
+                        mesh = make_mesh_for_batch(bs)
+                        msp = replicate(mesh, msp)
+                        cond = shard_batch(mesh, cond)
+                    batch_labels = np.asarray(
                         ms.sample_labels(
-                            msp, key, (1, *spatial),
-                            cond=jnp.zeros((1, *spatial, 1)),
+                            msp, key, (bs, *spatial), cond=cond,
                             num_steps=int(req.get("mask_steps", state["mask_steps"])),
-                        )[0]
+                        )
                     )
+                    labels = batch_labels[0]
                     counts = {int(c): int(n) for c, n in zip(*np.unique(labels, return_counts=True))}
-                    self._json(200, {
+                    resp = {
                         "labels_nifti_b64": _nifti_b64(labels.astype(np.uint8)),
                         "class_counts": counts,
                         "elapsed_s": round(time.perf_counter() - t0, 2),
-                    })
+                    }
+                    if bs > 1:
+                        resp["batch_labels_nifti_b64"] = [
+                            _nifti_b64(v.astype(np.uint8)) for v in batch_labels
+                        ]
+                    self._json(200, resp)
                 elif kind == "two_stage":
                     pipe, msp, lp = state["pipe"], state["ms_params"], state["ldm_params"]
                     ct, labels = pipe(

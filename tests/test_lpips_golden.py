@@ -131,3 +131,37 @@ def test_lpips_reference_lin_layout_load(tmp_path):
         np.asarray(metric.lin_weights[3]),
         lins["lin3.model.1.weight"].numpy().reshape(-1),
     )
+
+
+def test_fvd_i3d_torchscript_loader(tmp_path):
+    """The gated I3D extractor path: a torchscript video model saved to disk
+    loads and produces the same features as the torch module directly, and
+    fvd() with it is a valid Fréchet metric (0 for identical sets)."""
+    from jointimagegeneration_tpu.eval.fvd import fvd, i3d_feature_fn
+
+    class TinyI3D(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv3d(3, 4, 3, stride=2, padding=1)
+
+        def forward(self, x):
+            return torch.nn.functional.adaptive_avg_pool3d(
+                torch.nn.functional.relu(self.conv(x)), 1
+            ).flatten(1)
+
+    torch.manual_seed(0)
+    m = TinyI3D().eval()
+    path = tmp_path / "i3d.pt"
+    torch.jit.save(torch.jit.script(m), str(path))
+    fn = i3d_feature_fn(str(path))
+
+    vol = np.random.RandomState(0).rand(8, 16, 16).astype(np.float32)
+    got = fn(vol)
+    with torch.no_grad():
+        want = m(torch.tensor(vol)[None, None].repeat(1, 3, 1, 1, 1) * 2 - 1).numpy().reshape(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    vols = [np.random.RandomState(i).rand(8, 16, 16).astype(np.float32) for i in range(4)]
+    assert fvd(vols, vols, feature_fn=fn) < 1e-4
+    shifted = [v + 0.5 for v in vols]
+    assert fvd(vols, shifted, feature_fn=fn) > 1e-3

@@ -141,3 +141,46 @@ def test_checkpoint_restores_legacy_resblock_layout(tmp_path):
         np.asarray(f["norm1_scale"]) + 1,
     )
     ck.close()
+
+
+@pytest.mark.slow
+def test_serve_generate_mask_batched():
+    """HTTP serving surface: /healthz and /generate kind=mask with batch=2
+    (the batch rides the data mesh when multiple devices exist)."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    import jax
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.cli.serve import make_handler
+    from jointimagegeneration_tpu.models import MaskSampler
+
+    ms = MaskSampler.create(
+        num_classes=4, time_steps=6, model_channels=8, channel_mult=(1, 2),
+        attention_resolutions=(2,), num_res_blocks=1, num_head_channels=4,
+    )
+    spatial = (4, 8, 8)
+    params = ms.init_params(jax.random.key(0), spatial, cond_channels=1)
+    state = {"ms": ms, "ms_params": params, "spatial": spatial, "mask_steps": 2}
+    server = HTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        body = json.dumps({"kind": "mask", "seed": 3, "batch": 2}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            resp = json.load(r)
+        assert "labels_nifti_b64" in resp and len(resp["batch_labels_nifti_b64"]) == 2
+        assert base64.b64decode(resp["labels_nifti_b64"])[:2] == b"\x1f\x8b"  # gzip NIfTI
+    finally:
+        server.shutdown()
