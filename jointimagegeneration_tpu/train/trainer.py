@@ -44,6 +44,8 @@ class TrainerConfig:
     save_every: int = 1000  # ccdm save_freq (params.yml:62)
     eval_every: int = 1000
     keep_checkpoints: int = 3  # ignite n_saved=3
+    keep_best: int = 1  # best-by-score savers kept (trainer.py:559-567; LDM top-k)
+    best_mode: str = "max"  # 'max' for Dice / negated val-loss scores
     seed: int = 0
 
 
@@ -64,7 +66,10 @@ class Trainer:
         self.train_loader = train_loader
         self.eval_fn = eval_fn
         self.logger = MetricLogger(config.logdir) if is_chief() else None
-        self.ckpt = CheckpointManager(Path(config.logdir) / "checkpoints", config.keep_checkpoints)
+        self.ckpt = CheckpointManager(
+            Path(config.logdir) / "checkpoints", config.keep_checkpoints,
+            best_mode=config.best_mode, best_k=config.keep_best,
+        )
         if resume and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             print(f"resumed from step {int(self.state.step)}")

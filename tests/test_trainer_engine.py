@@ -53,13 +53,50 @@ def test_trainer_fit_and_resume(setup):
 
 
 def test_checkpoint_best_policy(tmp_path):
-    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2)
-    state = {"w": jnp.arange(4.0)}
-    mgr.save(1, jax.device_get(state), score=0.5)
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2, best_k=2)
+    mgr.save(1, jax.device_get({"w": jnp.arange(4.0)}), score=0.5)
     mgr.save(2, jax.device_get({"w": jnp.arange(4.0) * 2}), score=0.9)
     mgr.save(3, jax.device_get({"w": jnp.arange(4.0) * 3}), score=0.1)
     mgr.wait()
     # best-k policy: keeps the two best scores (steps 1, 2); step 3 pruned
-    assert mgr.latest_step() == 2
+    assert mgr.all_steps()["best"] == [1, 2]
+    assert mgr.best_step() == 2
     back = mgr.restore({"w": np.zeros(4, np.float32)}, step=2)
     np.testing.assert_allclose(back["w"], np.arange(4.0) * 2)
+
+
+def test_checkpoint_retention_mixed_saves(tmp_path):
+    """The round-2 retention bug probe: interleave score-less rolling saves
+    (what Trainer emits at save_every) with scored eval saves, exactly the
+    sequence of a real run with save_freq==eval_freq.  Exactly
+    {last max_to_keep rolling} ∪ {best_k best-scored} must survive —
+    reference semantics: ignite rolling n_saved=3 (ccdm trainer.py:522-529)
+    plus the separate best-by-Dice saver (:559-567)."""
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=3, best_k=1)
+    scores = {1000: 0.2, 2000: 0.9, 3000: 0.4, 4000: 0.1, 5000: 0.3, 6000: 0.5, 7000: 0.6}
+    for step, score in scores.items():
+        mgr.save(step, {"w": np.full(2, float(step))})       # rolling (score-less)
+        mgr.save(step, {"w": np.full(2, float(step))}, score=score)  # scored eval save
+    mgr.wait()
+    kept = mgr.all_steps()
+    assert kept["rolling"] == [5000, 6000, 7000], kept  # NOT all 7 (round-2 bug)
+    assert kept["best"] == [2000], kept  # best-by-score, not best-by-recency
+    assert mgr.best_step() == 2000
+    # restore of the best step works even though it's outside the rolling window
+    back = mgr.restore({"w": np.zeros(2, np.float32)}, step=2000)
+    np.testing.assert_allclose(back["w"], 2000.0)
+    # latest overall = newest retained step in either tree
+    assert mgr.latest_step() == 7000
+
+
+def test_checkpoint_best_sign_consistency(tmp_path):
+    """train_ldm scores = -val_loss with best_mode='max': lower val loss
+    must win.  With the split managers no score-less 0.0 ever competes
+    (the round-2 'garbage ranking' hazard)."""
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2, best_k=1)
+    mgr.save(1, {"w": np.ones(1)})  # score-less rolling save mixed in
+    mgr.save(1, {"w": np.ones(1)}, score=-0.9)   # val_loss 0.9
+    mgr.save(2, {"w": np.ones(1) * 2}, score=-0.1)  # val_loss 0.1 (best)
+    mgr.save(3, {"w": np.ones(1) * 3}, score=-0.5)
+    mgr.wait()
+    assert mgr.best_step() == 2
