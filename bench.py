@@ -147,6 +147,7 @@ def bench_stage1_train():
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n
     emit("stage1_train_steps_per_sec_64x128x128", 1.0 / dt, "steps/s")
+    emit_mfu("stage1_train", jstep, (state, batch, jax.random.key(9)), dt)
 
 
 def _stage2(size, ddim_steps):

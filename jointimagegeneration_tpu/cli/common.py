@@ -9,8 +9,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import (
+    NNUNetLayoutDataset,
     RuijinMaskDataset,
     RuijinSlicePairDataset,
+    RuijinVolumeDataset,
     SyntheticMaskDataset,
     SyntheticSliceDataset,
 )
@@ -21,8 +23,46 @@ from ..train import EMATrainState, build_optimizer
 
 __all__ = [
     "build_mask_sampler", "build_slice_ldm", "build_mask_dataset",
-    "build_slice_dataset", "build_autoencoder",
+    "build_slice_dataset", "build_autoencoder", "build_dino_feature_fn",
 ]
+
+
+def build_dino_feature_fn(cfg: dict, spatial, key: Optional[jax.Array] = None):
+    """Config route for dense DINO feature conditioning (the reference
+    builds the extractor from config inside run_train and applies it per
+    step: condition_encoder.py:22-109, trainer.py:287, 850-852).
+
+    Given a stage-1 config with `feature_cond_encoder: {type: dino,
+    inject_idx: N, ...}`, returns (feat_fn, inject_idx, site_shape) where
+    `feat_fn` is a jittable (B, H, W, C) images -> (B, th, tw, D) map at
+    the injection-site grid and `site_shape` = (th, tw, D) for
+    init_params(feature_cond_shapes=...).  (None, None, None) when the
+    config has no dino encoder."""
+    fce = cfg.get("feature_cond_encoder", {}) or {}
+    if fce.get("type") != "dino":
+        return None, None, None
+    if cfg.get("dims", 3) != 2:
+        raise ValueError(
+            "dino dense feature conditioning is 2D (the reference extractor is a 2D "
+            "ViT, ccdm/ddpm/models/dino.py); set dims: 2 / use a 2D dataset variant"
+        )
+    from ..models.cond_encoders import (
+        build_feature_cond_encoder,
+        inject_site_downsample,
+        make_dense_feature_fn,
+    )
+
+    enc, enc_params, _ = build_feature_cond_encoder(fce, key if key is not None else jax.random.key(0))
+    u = cfg.get("unet_openai", {})
+    idx = fce.get("inject_idx", 1)
+    dsf = inject_site_downsample(
+        tuple(u.get("channel_mult", (1, 2, 2, 4, 5))), u.get("num_res_blocks", 2), idx
+    )
+    site = (spatial[0] // dsf, spatial[1] // dsf)
+    fn = make_dense_feature_fn(
+        enc, enc_params, site, layer=fce.get("layer", 11), facet=fce.get("facet", "key")
+    )
+    return fn, idx, (*site, enc.vit.dim)
 
 
 def build_autoencoder(m: dict) -> AutoencoderKL:
@@ -66,6 +106,7 @@ def build_mask_sampler(cfg: dict) -> MaskSampler:
         dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
         step_T_sample=cfg.get("step_T_sample", "majority"),
         remat=cfg.get("remat", False),
+        remat_policy=cfg.get("remat_policy"),
     )
 
 
@@ -85,6 +126,9 @@ def build_slice_ldm(cfg: dict) -> SliceLDM:
         num_res_blocks=u.get("num_res_blocks", 2),
         num_head_channels=u.get("num_head_channels", 32),
         context_dim=u.get("context_dim"),
+        # 'adm' class-conditioning from the UNet config's num_classes key
+        # (openaimodel.py:516-517 + ddpm.py:1428)
+        adm_classes=u.get("num_classes", cfg.get("adm_classes")),
         dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
         remat=cfg.get("remat", False),
     )
@@ -112,6 +156,12 @@ def build_mask_dataset(cfg: dict, split: str):
             num_classes=cfg.get("num_classes", 12),
             max_size=d.get("max_size"),
         )
+    if kind == "ruijin_3d":
+        # CT volume + mask volume + text (ldm/data/ruijin_3d.py equivalent)
+        return RuijinVolumeDataset(
+            d["index"], split=split, volume_shape=shape,
+            num_classes=cfg.get("num_classes", 12),
+        )
     raise ValueError(f"unknown dataset kind {kind!r}")
 
 
@@ -126,4 +176,10 @@ def build_slice_dataset(cfg: dict, split: str):
         )
     if kind == "ruijin":
         return RuijinSlicePairDataset(d["index"], split=split, slice_shape=shape)
+    if kind == "nnunet":
+        # nnUNet folder layout (ldm/data/cmu.py equivalent)
+        return NNUNetLayoutDataset(
+            d["root"], split=split, slice_shape=shape,
+            num_classes=cfg.get("num_classes", 12),
+        )
     raise ValueError(f"unknown dataset kind {kind!r}")

@@ -53,21 +53,36 @@ def main(argv=None):
     )
     total_steps = cfg.get("max_steps", 100_000)
     tx = build_optimizer("AdamW", lr, total_steps=total_steps, accumulate_steps=accumulate)
-    params = model.init_params(jax.random.key(cfg.get("seed", 0)), size)
+    # learned per-timestep logvar joins the optimizer from config
+    # (ddpm.py:111-115, 423: learn_logvar + logvar_init)
+    params = model.init_params(
+        jax.random.key(cfg.get("seed", 0)), size,
+        learn_logvar=bool(model_cfg.get("learn_logvar", False)),
+        logvar_init=float(model_cfg.get("logvar_init", 0.0)),
+    )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"stage-2 UNet params: {n_params/1e6:.2f}M, lr={lr:.2e}")
     # LitEma warmup decay semantics (ldm/modules/ema.py:33-35)
     state = EMATrainState.create(params, tx, ema_decay=0.9999, ema_warmup=True,
                                  skip_nonfinite=True)
-    step_fn = make_ldm_train_step(model)
+    step_fn = make_ldm_train_step(
+        model,
+        loss_type=model_cfg.get("loss_type", "l2"),
+        l_simple_weight=model_cfg.get("l_simple_weight", 1.0),
+        elbo_weight=model_cfg.get("original_elbo_weight", 0.0),
+    )
 
     # ImageLogger parity (main.py:419-449): periodic qualitative panels
     # from SliceLDM.log_images (samples / denoise row / inpaint) + val loss
     from ..diffusion.ddim import DDIMParams
 
     val_ds = build_slice_dataset(cfg, "val")
+    # clamp for tiny-T test configs: the reference's +1 subset convention
+    # (util.py:46-62) indexes alphas_cumprod[T] when S == T
     log_ddim = DDIMParams.create(
-        model.diffusion, cfg.get("log_ddim_steps", 20), eta=cfg.get("ddim_eta", 0.0)
+        model.diffusion,
+        min(cfg.get("log_ddim_steps", 20), max(1, model.diffusion.num_timesteps // 2)),
+        eta=cfg.get("ddim_eta", 0.0),
     )
 
     def eval_fn(state, step, logger):

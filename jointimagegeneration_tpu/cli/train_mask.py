@@ -22,7 +22,7 @@ from ..eval.metrics import per_class_dice
 from ..parallel.mesh import make_mesh_for_batch, replicate
 from ..train import EMATrainState, build_optimizer, make_mask_train_step
 from ..train.trainer import Trainer, TrainerConfig
-from .common import build_mask_dataset, build_mask_sampler
+from .common import build_dino_feature_fn, build_mask_dataset, build_mask_sampler
 
 
 def main(argv=None):
@@ -59,8 +59,16 @@ def main(argv=None):
     ctx_shape = None
     if model.refiner is not None:
         ctx_shape = (cfg.get("dataset", {}).get("context_len", 4), model.refiner.embed_dim)
+    # dense DINO feature conditioning from config (feature_cond_encoder:
+    # {type: dino, inject_idx: N}) — extractor frozen, features computed
+    # inside the jitted step per batch (reference: per train step,
+    # trainer.py:287)
+    feat_fn, feat_idx, feat_shape = build_dino_feature_fn(
+        cfg, spatial, jax.random.key(cfg.get("seed", 0) + 11)
+    )
     params = model.init_params(
-        jax.random.key(cfg.get("seed", 0)), spatial, cond_channels=1, context_shape=ctx_shape
+        jax.random.key(cfg.get("seed", 0)), spatial, cond_channels=1, context_shape=ctx_shape,
+        feature_cond_shapes=None if feat_idx is None else {feat_idx: feat_shape},
     )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"stage-1 UNet params: {n_params/1e6:.2f}M")
@@ -69,7 +77,12 @@ def main(argv=None):
     weights = cfg.get("class_weights", "uniform")
     num_classes = cfg.get("num_classes", 12)
     class_weights = jnp.ones((num_classes,)) if weights == "uniform" else jnp.asarray(weights)
-    step_fn = make_mask_train_step(model, class_weights)
+    base_step = make_mask_train_step(model, class_weights, feature_inject_idx=feat_idx)
+    if feat_fn is None:
+        step_fn = base_step
+    else:
+        def step_fn(state, batch, key):
+            return base_step(state, dict(batch, feature_cond=feat_fn(batch["image"])), key)
 
     def eval_fn(state, step, logger):
         from ..eval.writers import labels_to_grid
@@ -81,9 +94,11 @@ def main(argv=None):
             item = ds[i]
             gt = np.argmax(item["mask"], -1)
             ctx = jnp.asarray(item["context"])[None] if "context" in item else None
+            img = jnp.asarray(item["image"])[None]
+            fc = None if feat_fn is None else {feat_idx: feat_fn(img)}
             labels = model.sample_labels(
                 state.ema_params, jax.random.key(step + i), (1, *spatial),
-                cond=jnp.asarray(item["image"])[None], context=ctx,
+                cond=img, context=ctx, feature_cond=fc,
                 num_steps=cfg.get("eval_time_steps", 50),
             )
             dices.append(np.asarray(per_class_dice(labels[0], jnp.asarray(gt), num_classes))[1:].mean())

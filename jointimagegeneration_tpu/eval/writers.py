@@ -42,7 +42,11 @@ def make_grid(images: Sequence[np.ndarray], ncols: int = 8, pad: int = 2) -> np.
 
 
 def labels_to_grid(labels: np.ndarray, every: int = 4) -> np.ndarray:
-    """(D, H, W) label volume -> color grid of every-nth axial slice."""
+    """(D, H, W) label volume -> color grid of every-nth axial slice;
+    a 2D (H, W) map (the 2D dataset variants) renders as one panel."""
+    labels = np.asarray(labels)
+    if labels.ndim == 2:
+        labels = labels[None]
     slices = [labels_to_colors(labels[z]) for z in range(0, labels.shape[0], every)]
     return make_grid(slices)
 
@@ -55,8 +59,11 @@ def save_grid_png(path, grid: np.ndarray) -> None:
 
 
 def image_volume_to_grid(vol: np.ndarray, every: int = 4) -> np.ndarray:
-    """(D, H, W) float volume in [0,1] -> grayscale RGB grid."""
+    """(D, H, W) float volume in [0,1] -> grayscale RGB grid; (H, W)
+    renders as one panel."""
     vol = np.clip(np.asarray(vol), 0, 1)
+    if vol.ndim == 2:
+        vol = vol[None]
     slices = [(np.stack([vol[z]] * 3, -1) * 255).astype(np.uint8) for z in range(0, vol.shape[0], every)]
     return make_grid(slices)
 

@@ -19,7 +19,44 @@ import jax.numpy as jnp
 from ..nn.text import TextFeatureRefiner
 from ..nn.vit import ViTExtractor
 
-__all__ = ["build_feature_cond_encoder"]
+__all__ = ["build_feature_cond_encoder", "inject_site_downsample", "make_dense_feature_fn"]
+
+
+def inject_site_downsample(channel_mult, num_res_blocks: int, idx: int) -> int:
+    """Spatial downsample factor of the UNet encoder at injection site
+    `idx`, mirroring the input_blocks enumeration the reference indexes
+    its feature-concat sites with (unet_openai/unet.py:485-507, 785-803;
+    nn/unet.py block_idx): idx 0 = stem, each ResBlock advances by one,
+    each down-transition advances by one and doubles ds."""
+    block_idx, ds = 1, 1
+    if idx == 0:
+        return 1
+    for level in range(len(channel_mult)):
+        for _ in range(num_res_blocks):
+            if block_idx == idx:
+                return ds
+            block_idx += 1
+        if level != len(channel_mult) - 1:
+            if block_idx == idx:
+                return ds  # injected before the downsample conv, still at ds
+            block_idx += 1
+            ds *= 2
+    raise ValueError(f"inject_idx {idx} beyond the encoder ({block_idx - 1} sites)")
+
+
+def make_dense_feature_fn(extractor, params, spatial, layer: int = 11, facet: str = "key"):
+    """Jittable (B, H, W, C) images -> (B, th, tw, D) dense feature map,
+    resized to the injection-site grid `spatial` — the per-step feature
+    computation of the reference train loop (ccdm/ddpm/trainer.py:287 via
+    condition_encoder.py:22-109), folded into the jitted step here."""
+    th, tw = spatial
+
+    def fn(images: jnp.ndarray) -> jnp.ndarray:
+        rgb = images if images.shape[-1] == 3 else jnp.tile(images, (1,) * (images.ndim - 1) + (3,))
+        f = extractor.vit.apply(params, rgb, harvest_layers=(layer,), facet=facet)[0]
+        return jax.image.resize(f, (images.shape[0], th, tw, f.shape[-1]), "bilinear")
+
+    return fn
 
 
 def build_feature_cond_encoder(cfg: dict, key: Optional[jax.Array] = None):

@@ -128,13 +128,15 @@ class LatentSliceLDM:
         key: jax.Array,
         cond: jnp.ndarray,  # PIXEL-space condition (encoded internally)
         ddim: DDIMParams,
-        latent_hw: Optional[Tuple[int, int]] = None,
+        cond_ae_params=None,
         encode_cond: bool = True,
         **kw,
     ) -> jnp.ndarray:
-        k1, k2 = jax.random.split(key)
-        cond_z = self.encode(ae_params, cond, None) if encode_cond else cond
-        z = self.inner.sample_slice(params, k2, cond_z, ddim, **kw)
+        cond_z = (
+            self.encode_cond(cond_ae_params if cond_ae_params is not None else ae_params, cond)
+            if encode_cond else cond
+        )
+        z = self.inner.sample_slice(params, key, cond_z, ddim, **kw)
         return self.decode(ae_params, z)
 
     # -- autoregressive latent-path volume (the `_ae` capability) -------------

@@ -77,6 +77,7 @@ class MaskSampler:
         step_T_sample: str = "majority",
         remat: bool = False,
         remat_levels: Optional[Sequence[int]] = None,
+        remat_policy: Optional[str] = None,
         spatial_axis: Optional[str] = None,
         text_refiner: Optional[dict] = None,
         use_fused_resblock: object = False,
@@ -97,6 +98,7 @@ class MaskSampler:
             dtype=dtype,
             remat=remat,
             remat_levels=None if remat_levels is None else tuple(remat_levels),
+            remat_policy=remat_policy,
             spatial_axis=spatial_axis,
             use_fused_resblock=use_fused_resblock,
         )
@@ -117,14 +119,24 @@ class MaskSampler:
 
     # -- init ----------------------------------------------------------------
 
-    def init_params(self, key: jax.Array, spatial: Sequence[int], cond_channels: int = 1, context_shape=None):
+    def init_params(
+        self, key: jax.Array, spatial: Sequence[int], cond_channels: int = 1,
+        context_shape=None, feature_cond_shapes: Optional[dict] = None,
+    ):
+        """`feature_cond_shapes` = {inject_idx: (*spatial_at_site, F)}
+        materialises the UNet's feature-concat sites at init so dense
+        extractor conditioning (e.g. DINO) has parameters to train
+        against (unet.py:485-507)."""
         x = jnp.zeros((1, *spatial, self.num_classes))
         cond = jnp.zeros((1, *spatial, cond_channels)) if cond_channels else None
         if context_shape is None and self.refiner is not None:
             context_shape = (4, self.refiner.embed_dim)
         ctx = None if context_shape is None else jnp.zeros((1, *context_shape))
+        fc = None
+        if feature_cond_shapes is not None:
+            fc = {i: jnp.zeros((1, *s)) for i, s in feature_cond_shapes.items()}
         t = jnp.zeros((1,))
-        uv = self.unet.init(key, x, t, cond=cond, context=ctx)
+        uv = self.unet.init(key, x, t, cond=cond, context=ctx, feature_cond=fc)
         if self.refiner is None:
             return uv
         kr = jax.random.fold_in(key, 1)

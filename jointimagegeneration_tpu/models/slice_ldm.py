@@ -58,11 +58,16 @@ class SliceLDM:
         num_res_blocks: int = 2,
         num_head_channels: int = 32,
         context_dim: Optional[int] = None,
+        adm_classes: Optional[int] = None,
         parameterization: str = "eps",
         dtype=jnp.float32,
         remat: bool = False,
         spatial_axis: Optional[str] = None,
     ) -> "SliceLDM":
+        """`adm_classes` enables class-conditional ('adm') mode: a learned
+        class embedding added to the timestep embedding (the reference's
+        UNet num_classes, openaimodel.py:516-517 + conditioning_key 'adm',
+        ddpm.py:1428); class ids arrive as `y`."""
         unet = UNet(
             model_channels=model_channels,
             out_channels=image_channels,
@@ -73,6 +78,7 @@ class SliceLDM:
             num_head_channels=num_head_channels,
             softmax_output=False,
             context_dim=context_dim,
+            adm_classes=adm_classes,
             dtype=dtype,
             remat=remat,
             spatial_axis=spatial_axis,
@@ -93,16 +99,20 @@ class SliceLDM:
         x = jnp.zeros((1, size, size, self.channels))
         cond = jnp.zeros((1, size, size, self.cond_channels))
         ctx = None if context_shape is None else jnp.zeros((1, *context_shape))
-        uv = self.unet.init(key, x, jnp.zeros((1,)), cond=cond, context=ctx)
+        y = None if self.unet.adm_classes is None else jnp.zeros((1,), jnp.int32)
+        uv = self.unet.init(key, x, jnp.zeros((1,)), cond=cond, context=ctx, y=y)
         if not learn_logvar:
             return uv
         return {"unet": uv, "logvar": jnp.full((self.diffusion.num_timesteps,), logvar_init, jnp.float32)}
 
     # -- eps model -----------------------------------------------------------
 
-    def apply_model(self, params, x, t, cond=None, context=None):
-        """DiffusionWrapper 'concat' mode (ddpm.py:1408-1420)."""
-        return self.unet.apply(unet_vars(params), x, t.astype(jnp.float32), cond=cond, context=context)
+    def apply_model(self, params, x, t, cond=None, context=None, y=None):
+        """DiffusionWrapper modes (ddpm.py:1408-1434): concat (`cond`),
+        crossattn (`context`), hybrid (both), adm (`y` class ids)."""
+        return self.unet.apply(
+            unet_vars(params), x, t.astype(jnp.float32), cond=cond, context=context, y=y
+        )
 
     # -- single-slice DDIM sampling, scan-compiled -----------------------------
 
@@ -113,6 +123,7 @@ class SliceLDM:
         cond: jnp.ndarray,  # (B, H, W, cond_channels)
         ddim: DDIMParams,
         context: Optional[jnp.ndarray] = None,
+        y: Optional[jnp.ndarray] = None,
         x_T: Optional[jnp.ndarray] = None,
         temperature: float = 1.0,
         guidance_scale: float = 1.0,
@@ -121,6 +132,7 @@ class SliceLDM:
         inpaint_mask: Optional[jnp.ndarray] = None,  # 1 = keep x0, 0 = generate
         inpaint_x0: Optional[jnp.ndarray] = None,
         return_intermediates: bool = False,
+        tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,  # (patch, stride)
     ):
         """DDIM chain for one slice, scan-compiled.
 
@@ -129,12 +141,32 @@ class SliceLDM:
         unconditional branch batched alongside the conditional one rather
         than the reference's concat-then-chunk (same math, half the
         dispatches).  `guidance_fn(x, t) -> grad` adds classifier guidance
-        (models/classifier.py)."""
+        (models/classifier.py).
+
+        `tile=((ph, pw), (sh, sw))` runs the UNet itself patch-tiled with
+        border-weighted stitching every diffusion step — the reference's
+        apply_model-level fold/unfold for oversized slices
+        (ddpm.py:915-997); [x_t | cond] windows move together like the
+        reference's jointly-unfolded z and c patches."""
         b, h, w, _ = cond.shape
         if x_T is None:
             key, sub = jax.random.split(key)
             x_T = jax.random.normal(sub, (b, h, w, self.channels))
         use_cfg = guidance_scale != 1.0
+
+        def model_fn(x, t_b, c):
+            if tile is None:
+                return self.apply_model(params, x, t_b, cond=c, context=context, y=y)
+            from ..ops.tiling import tiled_apply
+
+            joint = x if c is None else jnp.concatenate([x, c.astype(x.dtype)], axis=-1)
+
+            def fn(window):
+                xw = window[..., : self.channels]
+                cw = None if c is None else window[..., self.channels:]
+                return self.apply_model(params, xw, t_b, cond=cw, context=context, y=y)
+
+            return tiled_apply(fn, joint, tile[0], tile[1], out_channels=self.channels)
 
         def body(carry, index):
             x, k = carry
@@ -145,11 +177,11 @@ class SliceLDM:
                 noise = jax.random.normal(sub2, x.shape, x.dtype)
                 x_orig = self.diffusion.q_sample(inpaint_x0, t_b, noise)
                 x = x_orig * inpaint_mask + (1.0 - inpaint_mask) * x
-            e_t = self.apply_model(params, x, t_b, cond=cond, context=context)
+            e_t = model_fn(x, t_b, cond)
             if use_cfg:
-                e_uncond = self.apply_model(
-                    params, x, t_b, cond=jnp.zeros_like(cond), context=uncond_context
-                )
+                e_uncond = model_fn(x, t_b, jnp.zeros_like(cond)) if uncond_context is None \
+                    else self.apply_model(params, x, t_b, cond=jnp.zeros_like(cond),
+                                          context=uncond_context, y=y)
                 e_t = e_uncond + guidance_scale * (e_t - e_uncond)
             if guidance_fn is not None:
                 e_t = e_t - jnp.sqrt(1.0 - ddim.alphas[index]) * guidance_fn(x, t_b)
@@ -217,7 +249,9 @@ class SliceLDM:
         mask_volume: jnp.ndarray,  # (B, D, H, W, 1) mask channel, already windowed
         ddim: DDIMParams,
         context: Optional[jnp.ndarray] = None,
+        y: Optional[jnp.ndarray] = None,
         init_slice: Optional[jnp.ndarray] = None,
+        tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
     ) -> jnp.ndarray:
         """Generate all D slices autoregressively; returns (B, D, H, W, C).
 
@@ -232,7 +266,7 @@ class SliceLDM:
             prev, k = carry
             k, sub = jax.random.split(k)
             cond = jnp.concatenate([prev, mask_slice], axis=-1)
-            s = self.sample_slice(params, sub, cond, ddim, context=context)
+            s = self.sample_slice(params, sub, cond, ddim, context=context, y=y, tile=tile)
             # per-slice min-max normalisation (sample_diffusion.py:222)
             lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
             hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)

@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from ..ops.attention import multi_head_self_attention
 
@@ -262,6 +263,10 @@ class ResBlock(nn.Module):
             h = nn.avg_pool(h, window, window)
             x = nn.avg_pool(x, window, window)
         h = _raw_conv(h, k1, b1, self.dims, pallas=self.pallas_conv)
+        # named site for remat policies: with UNet(remat_policy='conv_outputs')
+        # the conv results are SAVED and only the bandwidth-bound GN/SiLU glue
+        # recomputes in the backward (jax.checkpoint save_only_these_names)
+        h = _checkpoint_name(h, "conv_out")
 
         eo = emb_out.astype(h.dtype).reshape(emb_out.shape[:1] + (1,) * self.dims + emb_out.shape[1:])
         if self.use_scale_shift_norm:
@@ -273,6 +278,7 @@ class ResBlock(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _raw_conv(h, k2, b2, self.dims, pallas=self.pallas_conv)
+        h = _checkpoint_name(h, "conv_out")
 
         if in_ch != out_ch:
             x = _raw_conv(x, ks, kb, self.dims)

@@ -77,6 +77,12 @@ class UNet(nn.Module):
     # only the big-activation shallow levels keeps the memory win while
     # skipping most recompute (reference remats every block, nn.py:124-170)
     remat_levels: Optional[Sequence[int]] = None
+    # remat POLICY: 'conv_outputs' saves each ResBlock's conv results and
+    # recomputes only the cheap GN/SiLU glue in the backward — the
+    # FLOPs-for-bandwidth middle ground between full remat (backward
+    # recomputes the conv-bound forward, ~3x fwd FLOPs) and no remat
+    # (OOMs at full 3D scale).  None = save-nothing (plain nn.remat).
+    remat_policy: Optional[str] = None
     # shard the leading spatial axis over this mesh axis (sequence/spatial
     # parallelism over ICI; XLA inserts the conv halo exchanges) — the
     # 'model' axis of parallel.make_mesh for big 512^2 / 128^3 activations:
@@ -152,7 +158,12 @@ class UNet(nn.Module):
         )
         # rematerialise each ResBlock under grad (reference: per-block
         # CheckpointFunction, unet_openai/nn.py:124-170)
-        RematRes = nn.remat(ResBlock, static_argnums=(3,))
+        policy = None
+        if self.remat_policy == "conv_outputs":
+            policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+        elif self.remat_policy is not None:
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+        RematRes = nn.remat(ResBlock, static_argnums=(3,), policy=policy)
 
         def res_for(level):
             if not self.remat:

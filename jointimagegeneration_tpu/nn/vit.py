@@ -27,7 +27,7 @@ class _ViTBlock(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_keys: bool = False):
+    def __call__(self, x: jnp.ndarray, return_keys: bool = False, return_attn: bool = False):
         h = nn.LayerNorm(name="norm1")(x)
         b, t, d = h.shape
         qkv = nn.Dense(3 * d, name="qkv")(h).reshape(b, t, 3, self.heads, d // self.heads)
@@ -39,9 +39,12 @@ class _ViTBlock(nn.Module):
         x = x + nn.Dense(d, name="proj")(o)
         h2 = nn.LayerNorm(name="norm2")(x)
         x = x + nn.Dense(d, name="fc2")(nn.gelu(nn.Dense(4 * d, name="fc1")(h2)))
+        extras = {}
         if return_keys:
-            return x, k.reshape(b, t, d)
-        return x, None
+            extras["key"] = k.reshape(b, t, d)
+        if return_attn:
+            extras["attn"] = att  # (B, heads, T, T)
+        return x, extras
 
 
 class ViT(nn.Module):
@@ -76,10 +79,15 @@ class ViT(nn.Module):
         harvested: List[jnp.ndarray] = []
         for i in range(self.depth):
             want = i in harvest_layers
-            tokens, keys = _ViTBlock(self.dim, self.heads, name=f"block_{i}")(tokens, return_keys=want)
+            tokens, extras = _ViTBlock(self.dim, self.heads, name=f"block_{i}")(
+                tokens, return_keys=want and facet == "key", return_attn=want and facet == "attn"
+            )
             if want:
-                src = keys if facet == "key" else tokens
-                harvested.append(src[:, 1:].reshape(b, gh, gw, self.dim))  # drop cls
+                if facet == "attn":
+                    harvested.append(extras["attn"])  # raw (B, heads, T, T)
+                else:
+                    src = extras["key"] if facet == "key" else tokens
+                    harvested.append(src[:, 1:].reshape(b, gh, gw, self.dim))  # drop cls
         return harvested
 
 
@@ -143,3 +151,61 @@ class ViTExtractor:
         """(B, H, W, 3) -> list of (B, gh, gw, D) feature maps."""
         assert self.params is not None, "call init() first"
         return self.vit.apply(self.params, images, harvest_layers=tuple(layers), facet=facet)
+
+    def extract_descriptors(
+        self, images: jnp.ndarray, layer: int = 11, facet: str = "key",
+        log_bin: bool = False, hierarchy: int = 2,
+    ) -> jnp.ndarray:
+        """Dense descriptors (B, gh, gw, D') — with `log_bin`, the
+        reference's log-binned descriptor (dino.py:231-279, 281-320):
+        1 + 8*hierarchy spatial bins per location — level k in [0,
+        hierarchy) avg-pools the map with a 3^k window (border counts
+        exclude padding) and samples the 8 neighbours at offset 3^k (the
+        centre only at k=0), clamped at the borders; bins concatenate
+        along channels, so D' = D * (1 + 8*hierarchy)."""
+        x = self.extract(images, layers=(layer,), facet=facet)[0]  # (B, gh, gw, D)
+        if not log_bin:
+            return x
+        b, gh, gw, d = x.shape
+        planes = []
+        for k in range(hierarchy):
+            win = 3 ** k
+            if win == 1:
+                pooled = x
+            else:
+                # count_include_pad=False average: sum window / valid count
+                ssum = jax.lax.reduce_window(
+                    x, 0.0, jax.lax.add, (1, win, win, 1), (1, 1, 1, 1), "SAME"
+                )
+                cnt = jax.lax.reduce_window(
+                    jnp.ones((1, gh, gw, 1), x.dtype), 0.0, jax.lax.add,
+                    (1, win, win, 1), (1, 1, 1, 1), "SAME",
+                )
+                pooled = ssum / cnt
+            for di in (-win, 0, win):
+                for dj in (-win, 0, win):
+                    if di == 0 and dj == 0 and k != 0:
+                        continue  # centre bin only once, at the finest level
+                    iy = jnp.clip(jnp.arange(gh) + di, 0, gh - 1)
+                    ix = jnp.clip(jnp.arange(gw) + dj, 0, gw - 1)
+                    planes.append(pooled[:, iy][:, :, ix])
+        return jnp.concatenate(planes, axis=-1)
+
+    def extract_saliency_maps(self, images: jnp.ndarray, head_idxs: Sequence[int] = (0, 2, 4, 5)) -> jnp.ndarray:
+        """(B, H, W, 3) -> (B, gh, gw) saliency in [0, 1]: last-layer
+        cls→patch attention averaged over `head_idxs`, min-max normalised
+        per image (dino.py:322-342 extract_saliency_maps)."""
+        assert self.params is not None, "call init() first"
+        att = self.vit.apply(
+            self.params, images, harvest_layers=(self.vit.depth - 1,), facet="attn"
+        )[0]  # (B, heads, T, T)
+        heads = [h for h in head_idxs if h < att.shape[1]] or list(range(att.shape[1]))
+        cls_attn = att[:, jnp.asarray(heads), 0, 1:].mean(axis=1)  # (B, T-1)
+        lo = cls_attn.min(axis=1, keepdims=True)
+        hi = cls_attn.max(axis=1, keepdims=True)
+        sal = (cls_attn - lo) / jnp.maximum(hi - lo, 1e-12)
+        b, t1 = sal.shape
+        # patch grid from the actual input size (stride-adjusted)
+        gh = 1 + (images.shape[1] - self.vit.patch) // self.vit.stride
+        gw = 1 + (images.shape[2] - self.vit.patch) // self.vit.stride
+        return sal.reshape(b, gh, gw)

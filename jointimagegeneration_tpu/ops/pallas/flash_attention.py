@@ -133,6 +133,43 @@ def _flash_kernel_pipelined(q_ref, k_ref, kn_ref, v_ref, o_ref, lse_ref,
 # forward variant: True = software-pipelined (s_{j+1} dot overlaps softmax_j)
 PIPELINED_FORWARD = [False]
 
+# forward variant: process ALL k-blocks of one q-block inside one grid step,
+# statically unrolled, with the whole K/V resident in VMEM.  The running
+# (m, l, acc) statistics and the per-block scores are plain SSA values —
+# never VMEM scratch — so Mosaic is free to software-pipeline the MXU dot
+# of block j+1 under the VPU softmax of block j (the round-2 pipelined
+# variant failed precisely because its scores routed through scratch
+# planes behind predicated stores, BENCH_NOTES round 2).  Eligible when
+# K+V fit VMEM comfortably (T·D small — true at every UNet site here).
+UNROLLED_FORWARD = [False]  # default set by the round-3 on-chip A/B
+_UNROLL_MAX_KV_BYTES = 4 * 2**20  # K+V VMEM budget for the unrolled variant
+
+
+def _flash_kernel_unrolled(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bk: int):
+    q = q_ref[0]  # (BQ, D)
+    tk = k_ref.shape[1]
+    nk = tk // bk
+    bq = q.shape[0]
+    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    for j in range(nk):  # static unroll
+        k = k_ref[0, j * bk:(j + 1) * bk, :]
+        v = v_ref[0, j * bk:(j + 1) * bk, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK) fp32
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = m_new
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int):
     """(BH, Tq, D) x (BH, Tk, D) -> (BH, Tq, D), (BH, Tq, 1) logsumexp; q pre-scaled."""
@@ -151,6 +188,24 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int,
         jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
     ]
+    kv_bytes = 2 * tk * d * k.dtype.itemsize
+    if UNROLLED_FORWARD[0] and kv_bytes <= _UNROLL_MAX_KV_BYTES:
+        return pl.pallas_call(
+            functools.partial(_flash_kernel_unrolled, bk=bk),
+            grid=(bh, tq // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            interpret=_interpret(),
+        )(q, k, v)
     stats_scratch = [
         pltpu.VMEM((bq, d), jnp.float32),
         pltpu.VMEM((bq, 128), jnp.float32),  # running max, lane-padded

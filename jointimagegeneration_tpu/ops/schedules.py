@@ -126,6 +126,8 @@ def gaussian_beta_schedule(
 def ddim_timestep_subset(method: str, num_ddim: int, num_ddpm: int) -> np.ndarray:
     """Indices into [0, T) of the DDPM steps visited by DDIM, +1 offset
     applied as in the reference (so values live in [1, T])."""
+    if num_ddim > num_ddpm:
+        raise ValueError(f"ddim steps ({num_ddim}) cannot exceed ddpm timesteps ({num_ddpm})")
     if method == "uniform":
         c = num_ddpm // num_ddim
         steps = np.asarray(list(range(0, num_ddpm, c)))

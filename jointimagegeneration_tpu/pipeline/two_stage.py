@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..diffusion.ddim import DDIMParams
+from ..models.latent_ldm import LatentSliceLDM
 from ..models.mask_sampler import MaskSampler
 from ..models.slice_ldm import SliceLDM
 
@@ -43,8 +44,14 @@ def normalize_mask_channel(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray
 
 @dataclass(frozen=True)
 class TwoStagePipeline:
+    """`slice_ldm` may be a pixel-space SliceLDM or a LatentSliceLDM (the
+    `_ae` config): with a latent model the stage-2 volume runs through its
+    cond-stage encode / first-stage decode per slice — the reference's
+    sample_cond with a first stage (sample_diffusion.py:196-224 +
+    ddpm.py:510-537).  Latent mode REQUIRES `ae_params` at call time."""
+
     mask_sampler: MaskSampler
-    slice_ldm: SliceLDM
+    slice_ldm: SliceLDM | LatentSliceLDM
 
     def __call__(
         self,
@@ -58,13 +65,25 @@ class TwoStagePipeline:
         mask_steps: Optional[int] = None,
         cond: Optional[jnp.ndarray] = None,
         context: Optional[jnp.ndarray] = None,
+        feature_cond: Optional[dict] = None,
+        ae_params=None,
+        cond_ae_params=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (ct_volume (B,D',H',W',C), labels (B,D',H',W'))."""
+        if isinstance(self.slice_ldm, LatentSliceLDM) and ae_params is None:
+            raise ValueError("latent two-stage pipeline needs ae_params (first-stage AE weights)")
         k1, k2 = jax.random.split(key)
         labels = self.mask_sampler.sample_labels(
-            mask_params, k1, mask_shape, cond=cond, context=context, num_steps=mask_steps
+            mask_params, k1, mask_shape, cond=cond, context=context,
+            feature_cond=feature_cond, num_steps=mask_steps,
         )
         labels_up = upsample_labels(labels, volume_shape)
         mask_channel = normalize_mask_channel(labels_up, self.mask_sampler.num_classes)
-        ct = self.slice_ldm.sample_volume(ldm_params, k2, mask_channel, ddim, context=context)
+        if isinstance(self.slice_ldm, LatentSliceLDM):
+            ct = self.slice_ldm.sample_volume(
+                ldm_params, ae_params, k2, mask_channel, ddim,
+                cond_ae_params=cond_ae_params, context=context,
+            )
+        else:
+            ct = self.slice_ldm.sample_volume(ldm_params, k2, mask_channel, ddim, context=context)
         return ct, labels_up

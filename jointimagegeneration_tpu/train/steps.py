@@ -87,13 +87,13 @@ def make_ldm_train_step(
 
     diff = model.diffusion
 
-    def loss_fn(params, key, x0, cond, context):
+    def loss_fn(params, key, x0, cond, context, y):
         b = x0.shape[0]
         kt, kn = jax.random.split(key)
         t = jax.random.randint(kt, (b,), 0, diff.num_timesteps)
         noise = jax.random.normal(kn, x0.shape, x0.dtype)
         x_noisy = diff.q_sample(x0, t, noise)
-        model_out = model.apply_model(params, x_noisy, t, cond=cond, context=context)
+        model_out = model.apply_model(params, x_noisy, t, cond=cond, context=context, y=y)
         target = noise if diff.parameterization == "eps" else x0
         logvar = params.get("logvar") if isinstance(params, dict) and "logvar" in params else None
         return gaussian_diffusion_loss(
@@ -102,8 +102,11 @@ def make_ldm_train_step(
         )
 
     def step(state: EMATrainState, batch: dict, key: jax.Array):
+        # class ids for 'adm' mode under either reference key
+        # (cond_stage_key 'class_label', ddpm.py:1428)
+        y = batch.get("y", batch.get("class_label"))
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, batch["image"], batch.get("cond"), batch.get("context")
+            state.params, key, batch["image"], batch.get("cond"), batch.get("context"), y
         )
         state = state.apply_gradients(grads)
         metrics["grad_finite"] = jnp.all(

@@ -22,6 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# NO persistent compilation cache for the CPU suite — measured round 3:
+# a fresh dedicated cache dir still produced "Compile machine features ...
+# doesn't match the machine type for execution ... could lead to SIGILL"
+# AOT-load errors on the very next run (this box's compiles route through
+# the axon relay whose recorded machine features differ from the host).
+# Slow-tier speed comes from session-scoped fixtures instead.
+
 
 def pytest_collection_modifyitems(config, items):
     """Everything not explicitly @pytest.mark.slow is part of the fast core,
