@@ -141,7 +141,8 @@ PIPELINED_FORWARD = [False]
 # variant failed precisely because its scores routed through scratch
 # planes behind predicated stores, BENCH_NOTES round 2).  Eligible when
 # K+V fit VMEM comfortably (T·D small — true at every UNet site here).
-UNROLLED_FORWARD = [False]  # default set by the round-3 on-chip A/B
+UNROLLED_FORWARD = [True]  # round-3 on-chip A/B: ~10% faster at every
+# eligible site, bit-exact (see BENCH_NOTES round 3 sweep)
 _UNROLL_MAX_KV_BYTES = 4 * 2**20  # K+V VMEM budget for the unrolled variant
 
 
@@ -190,6 +191,10 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int,
     ]
     kv_bytes = 2 * tk * d * k.dtype.itemsize
     if UNROLLED_FORWARD[0] and kv_bytes <= _UNROLL_MAX_KV_BYTES:
+        # round-3 sweep at (16, 4096, 32): bq=512/bk=1024 best (1.337 ms vs
+        # plain-1024's 1.485); bq=1024 and bk=2048+ both slower
+        while bq > 512 and tq % (bq // 2) == 0:
+            bq //= 2
         return pl.pallas_call(
             functools.partial(_flash_kernel_unrolled, bk=bk),
             grid=(bh, tq // bq),
