@@ -264,6 +264,33 @@ def test_apply_model_tiling_oversized_slice():
     assert corr > 0.9, f"tiled/untiled correlation {corr}"
 
 
+@pytest.mark.slow
+def test_tile_config_key_ct_sample_cli(tmp_path):
+    """`tile: {patch, stride}` in the sample config routes the diffusion-loop
+    UNet through fold/unfold tiling end to end (stage: ct)."""
+    from jointimagegeneration_tpu.cli import sample as sample_cli
+
+    cfg = {
+        "stage": "ct", "n_cases": 1, "ddim_steps": 2, "seed": 5,
+        "output_path": str(tmp_path / "samples"),
+        "tile": {"patch": [16, 16], "stride": [8, 8]},
+        "stage2": {
+            "timesteps": 8, "bf16": False, "slice_size": 24,
+            "unet": {"model_channels": 8, "channel_mult": [1, 2], "attention_resolutions": [],
+                     "num_res_blocks": 1, "num_head_channels": 4},
+            "dataset": {"kind": "synthetic", "num_cases": 2, "slice_shape": [24, 24], "depth": 3},
+        },
+    }
+    p = tmp_path / "ct_tile.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    sample_cli.main([str(p)])
+    from jointimagegeneration_tpu.data import read_nifti
+
+    vol, _ = read_nifti(tmp_path / "samples" / "case_0000" / "image.nii.gz")
+    vol = np.asarray(vol, np.float32)
+    assert vol.shape == (3, 24, 24) and np.all(np.isfinite(vol))
+
+
 # ----------------------------------------------- ViT log-bin + saliency extras
 
 
