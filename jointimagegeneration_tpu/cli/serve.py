@@ -9,9 +9,14 @@ batching is the mesh's job, not the server's.
 
     python -m jointimagegeneration_tpu.cli.serve <config.yml> [port]
 
-POST /generate {"kind": "mask"|"two_stage", "seed": int,
-                "mask_steps": int?, "ddim_steps": int?}
+POST /generate {"kind": "mask"|"two_stage", "seed": int, "batch": int?,
+                "mask_steps": int?, "stream": bool?}
   -> {"labels_nifti_b64"| "ct_nifti_b64", "class_counts", "elapsed_s"}
+  `batch: N` generates N volumes in one jitted call, one volume per
+  data-axis mesh slot when multiple devices exist.  `stream: true` on
+  two_stage returns NDJSON: a header line with the mask volume, then one
+  line per CT slice as the autoregressive z-loop emits it, then a
+  summary line — slice-by-slice delivery instead of a whole-volume wait.
 GET /healthz -> {"status": "ok", "device": ...}
 """
 
@@ -58,6 +63,35 @@ def make_handler(state: dict):
 
         def log_message(self, *a):  # quiet
             pass
+
+        def _stream_two_stage(self, state, msp, lp, key, bs, cond, mask_steps, t0):
+            """NDJSON streaming: the mask volume first, then one line per
+            generated CT slice AS the autoregressive z-loop produces it
+            (stream_volume host generator), then a summary line.  HTTP/1.0
+            stream-until-close; each line is self-contained JSON."""
+            from ..pipeline.two_stage import normalize_mask_channel, upsample_labels
+
+            k1, k2 = jax.random.split(key)
+            labels = state["ms"].sample_labels(
+                msp, k1, (bs, *state["spatial"]), cond=cond, num_steps=mask_steps)
+            labels_up = upsample_labels(labels, state["volume_shape"])
+            mask_channel = normalize_mask_channel(labels_up, state["ms"].num_classes)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()
+
+            def line(obj):
+                self.wfile.write((json.dumps(obj) + "\n").encode())
+                self.wfile.flush()
+
+            d = int(mask_channel.shape[1])
+            line({"kind": "two_stage_stream", "n_slices": d, "batch": bs,
+                  "labels_nifti_b64": _nifti_b64(np.asarray(labels_up[0]).astype(np.uint8))})
+            for z, s in enumerate(state["ldm"].stream_volume(lp, k2, mask_channel, state["ddim"])):
+                arr = np.asarray(s).astype(np.float16)  # (B, H, W, C)
+                line({"slice": z, "shape": list(arr.shape), "dtype": "float16",
+                      "data_b64": base64.b64encode(arr.tobytes()).decode()})
+            line({"done": True, "elapsed_s": round(time.perf_counter() - t0, 2)})
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -107,17 +141,38 @@ def make_handler(state: dict):
                     self._json(200, resp)
                 elif kind == "two_stage":
                     pipe, msp, lp = state["pipe"], state["ms_params"], state["ldm_params"]
+                    # batching across volumes: one volume per data-axis slot
+                    # when multiple devices exist (batch axis 0 is sharded,
+                    # params replicated — grad-free twin of the train mesh)
+                    bs = max(1, int(req.get("batch", 1)))
+                    cond = jnp.zeros((bs, *state["spatial"], 1))
+                    if bs > 1 and len(jax.devices()) > 1:
+                        from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+
+                        mesh = make_mesh_for_batch(bs)
+                        msp, lp = replicate(mesh, (msp, lp))
+                        cond = shard_batch(mesh, cond)
+                    steps = int(req.get("mask_steps", state["mask_steps"]))
+                    if req.get("stream"):
+                        self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0)
+                        return
                     ct, labels = pipe(
                         msp, lp, key,
-                        mask_shape=(1, *state["spatial"]), volume_shape=state["volume_shape"],
-                        ddim=state["ddim"], mask_steps=int(req.get("mask_steps", state["mask_steps"])),
-                        cond=jnp.zeros((1, *state["spatial"], 1)),
+                        mask_shape=(bs, *state["spatial"]), volume_shape=state["volume_shape"],
+                        ddim=state["ddim"], mask_steps=steps, cond=cond,
                     )
-                    self._json(200, {
-                        "ct_nifti_b64": _nifti_b64(np.asarray(ct[0, ..., 0], np.float32)),
-                        "labels_nifti_b64": _nifti_b64(np.asarray(labels[0]).astype(np.uint8)),
+                    ct, labels = np.asarray(ct), np.asarray(labels)
+                    resp = {
+                        "ct_nifti_b64": _nifti_b64(ct[0, ..., 0].astype(np.float32)),
+                        "labels_nifti_b64": _nifti_b64(labels[0].astype(np.uint8)),
                         "elapsed_s": round(time.perf_counter() - t0, 2),
-                    })
+                    }
+                    if bs > 1:
+                        resp["batch_ct_nifti_b64"] = [
+                            _nifti_b64(v[..., 0].astype(np.float32)) for v in ct]
+                        resp["batch_labels_nifti_b64"] = [
+                            _nifti_b64(v.astype(np.uint8)) for v in labels]
+                    self._json(200, resp)
                 else:
                     self._json(400, {"error": f"unknown kind {kind!r}"})
             except Exception as e:  # surface errors to the client
@@ -146,7 +201,7 @@ def main(argv=None):
             cfg["stage2"].get("checkpoint"),
         )
         state.update(
-            pipe=TwoStagePipeline(ms, ldm), ldm_params=lp,
+            pipe=TwoStagePipeline(ms, ldm), ldm=ldm, ldm_params=lp,
             ddim=DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50)),
             volume_shape=tuple(cfg.get("volume_shape", (128, 256, 256))),
         )

@@ -181,3 +181,39 @@ class LatentSliceLDM:
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)
         (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
+
+    def stream_volume(
+        self,
+        params,
+        ae_params,
+        key: jax.Array,
+        mask_volume: jnp.ndarray,  # (B, D, H, W, 1)
+        ddim: DDIMParams,
+        cond_ae_params=None,
+        context: Optional[jnp.ndarray] = None,
+        init_slice: Optional[jnp.ndarray] = None,
+    ):
+        """Generator over z yielding each decoded (B, H, W, C) slice —
+        latent-path twin of SliceLDM.stream_volume (per-slice encode →
+        latent DDIM → decode, compiled once, yielded incrementally)."""
+        b, d, h, w, _ = mask_volume.shape
+        if init_slice is None:
+            init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
+        if cond_ae_params is None:
+            cond_ae_params = ae_params
+
+        @jax.jit
+        def one_slice(params, ae_params, cond_ae_params, prev, mask_slice, k):
+            cond_pix = jnp.concatenate([prev, mask_slice], axis=-1)
+            cond_z = self.encode_cond(cond_ae_params, cond_pix)
+            z = self.inner.sample_slice(params, k, cond_z, ddim, context=context)
+            s = self.decode(ae_params, z)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            return (s - lo) / jnp.maximum(hi - lo, 1e-8)
+
+        prev = init_slice
+        for z in range(d):
+            key, sub = jax.random.split(key)
+            prev = one_slice(params, ae_params, cond_ae_params, prev, mask_volume[:, z], sub)
+            yield prev

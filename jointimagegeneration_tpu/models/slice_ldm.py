@@ -276,3 +276,37 @@ class SliceLDM:
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)  # (D, B, H, W, 1)
         (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
+
+    def stream_volume(
+        self,
+        params,
+        key: jax.Array,
+        mask_volume: jnp.ndarray,  # (B, D, H, W, 1)
+        ddim: DDIMParams,
+        context: Optional[jnp.ndarray] = None,
+        y: Optional[jnp.ndarray] = None,
+        init_slice: Optional[jnp.ndarray] = None,
+        tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+    ):
+        """Generator over z: yields each (B, H, W, C) slice as it is
+        produced.  Same math as `sample_volume` (one jitted per-slice DDIM
+        chain, compiled once, called per z from the host) but consumers see
+        slices incrementally — the serving analog of the reference's
+        per-slice debug dump inside sample_cond (sample_diffusion.py:223)."""
+        b, d, h, w, _ = mask_volume.shape
+        if init_slice is None:
+            init_slice = jnp.zeros((b, h, w, self.channels))
+
+        @jax.jit
+        def one_slice(params, prev, mask_slice, k):
+            cond = jnp.concatenate([prev, mask_slice], axis=-1)
+            s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            return (s - lo) / jnp.maximum(hi - lo, 1e-8)
+
+        prev = init_slice
+        for z in range(d):
+            key, sub = jax.random.split(key)
+            prev = one_slice(params, prev, mask_volume[:, z], sub)
+            yield prev

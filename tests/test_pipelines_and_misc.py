@@ -184,3 +184,72 @@ def test_serve_generate_mask_batched():
         assert base64.b64decode(resp["labels_nifti_b64"])[:2] == b"\x1f\x8b"  # gzip NIfTI
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_two_stage_stream_and_batch():
+    """/generate kind=two_stage: `stream: true` yields NDJSON — a mask
+    header, one line per CT slice as the z-loop produces it, a summary —
+    and `batch: 2` returns per-volume NIfTIs in one jitted call."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    import jax
+    import numpy as np
+
+    from jointimagegeneration_tpu.cli.serve import make_handler
+    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+    from jointimagegeneration_tpu.models import MaskSampler, SliceLDM
+    from jointimagegeneration_tpu.pipeline import TwoStagePipeline
+
+    ms = MaskSampler.create(
+        num_classes=4, time_steps=6, model_channels=8, channel_mult=(1, 2),
+        attention_resolutions=(2,), num_res_blocks=1, num_head_channels=4,
+    )
+    spatial = (4, 8, 8)
+    msp = ms.init_params(jax.random.key(0), spatial, cond_channels=1)
+    ldm = SliceLDM.create(
+        image_channels=1, cond_channels=2, timesteps=6, model_channels=8,
+        channel_mult=(1, 2), attention_resolutions=(2,), num_res_blocks=1,
+        num_head_channels=4,
+    )
+    lp = ldm.init_params(jax.random.key(1), 16)
+    state = {
+        "ms": ms, "ms_params": msp, "spatial": spatial, "mask_steps": 2,
+        "pipe": TwoStagePipeline(ms, ldm), "ldm": ldm, "ldm_params": lp,
+        "ddim": DDIMParams.create(ldm.diffusion, 2), "volume_shape": (3, 16, 16),
+    }
+    server = HTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({"kind": "two_stage", "seed": 1, "stream": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            lines = [json.loads(l) for l in r.read().decode().splitlines()]
+        header, slices, summary = lines[0], lines[1:-1], lines[-1]
+        assert header["kind"] == "two_stage_stream" and header["n_slices"] == 3
+        assert base64.b64decode(header["labels_nifti_b64"])[:2] == b"\x1f\x8b"
+        assert [s["slice"] for s in slices] == [0, 1, 2]
+        arr = np.frombuffer(base64.b64decode(slices[1]["data_b64"]), np.float16)
+        assert arr.reshape(slices[1]["shape"]).shape == (1, 16, 16, 1)
+        assert np.all(np.isfinite(arr.astype(np.float32)))
+        assert summary["done"] is True
+
+        body = json.dumps({"kind": "two_stage", "seed": 2, "batch": 2}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            resp = json.load(r)
+        assert len(resp["batch_ct_nifti_b64"]) == 2
+        assert len(resp["batch_labels_nifti_b64"]) == 2
+    finally:
+        server.shutdown()
