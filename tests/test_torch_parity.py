@@ -190,3 +190,99 @@ def test_attention_block_matches_torch():
         want = (seq + out).reshape(x.shape).numpy()
 
     np.testing.assert_allclose(ours, want, atol=2e-4, rtol=2e-4)
+
+
+def test_whole_unet_matches_torch():
+    """WHOLE tiny UNet (2 levels, attention at ds=2, skips, up/downsample,
+    timestep MLP, fp32 head) vs an independent torch replica of the
+    guided-diffusion semantics (unet_openai/unet.py:402-823) with params
+    mapped leaf-for-leaf.  Pins the full network wiring — skip-concat
+    order, emb-add placement, resample layout — not just the blocks."""
+    from jointimagegeneration_tpu.nn.unet import UNet
+
+    F = torch.nn.functional
+    mc, out_ch, head_ch = 8, 5, 4
+    net = UNet(model_channels=mc, out_channels=out_ch, num_res_blocks=1,
+               attention_resolutions=(2,), channel_mult=(1, 2), dims=2,
+               num_head_channels=head_ch)
+    x = np.random.RandomState(0).randn(2, 8, 8, 3).astype(np.float32)
+    t = np.array([7, 3], np.float32)
+    params = net.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(t))
+
+    # un-zero every zero-init kernel (conv2, proj_out, out_conv) so the whole
+    # graph carries signal
+    rs = np.random.RandomState(1)
+
+    def unzero(v):
+        a = np.asarray(v)
+        if a.ndim > 1 and not a.any():
+            return (rs.randn(*a.shape) * 0.05).astype(np.float32)
+        return a
+    p = jax.tree.map(unzero, jax.tree.map(np.asarray, params["params"]))
+    ours = np.asarray(net.apply({"params": jax.tree.map(jnp.asarray, p)},
+                                jnp.asarray(x), jnp.asarray(t)))
+
+    # ---- independent torch replica (NCHW) --------------------------------
+    def t_conv(h, kern, bias, stride=1):
+        w = torch.tensor(kern).permute(3, 2, 0, 1)  # HWIO -> OIHW
+        return F.conv2d(h, w, torch.tensor(bias), stride=stride,
+                        padding=kern.shape[0] // 2)
+
+    def t_gn(h, scale, bias, groups):
+        return F.group_norm(h, groups, torch.tensor(scale), torch.tensor(bias), eps=1e-6)
+
+    def t_res(h, emb, q):
+        in_c, o_c = h.shape[1], q["conv1_kernel"].shape[-1]
+        y = F.silu(t_gn(h, q["norm1_scale"], q["norm1_bias"], math.gcd(in_c, 32)))
+        y = t_conv(y, q["conv1_kernel"], q["conv1_bias"])
+        eo = F.silu(emb) @ torch.tensor(q["emb_kernel"]) + torch.tensor(q["emb_bias"])
+        y = y + eo[:, :, None, None]
+        y = F.silu(t_gn(y, q["norm2_scale"], q["norm2_bias"], math.gcd(o_c, 32)))
+        y = t_conv(y, q["conv2_kernel"], q["conv2_bias"])
+        skip = h if "skip_kernel" not in q else t_conv(h, q["skip_kernel"], q["skip_bias"])
+        return skip + y
+
+    def t_attn(h, q):
+        b, c, hh, ww = h.shape
+        heads, d = max(1, c // head_ch), 0
+        d = c // heads
+        seq = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        n = q["norm"]["GroupNorm_0"]
+        y = F.group_norm(seq.transpose(1, 2), math.gcd(c, 32), torch.tensor(n["scale"]),
+                         torch.tensor(n["bias"]), eps=1e-6).transpose(1, 2)
+        qkv = y @ torch.tensor(q["qkv"]["kernel"]) + torch.tensor(q["qkv"]["bias"])
+        qq, kk, vv = qkv.chunk(3, dim=-1)
+        split = lambda z: z.reshape(b, -1, heads, d).permute(0, 2, 1, 3)
+        a = torch.softmax(split(qq) @ split(kk).transpose(-1, -2) / d ** 0.5, dim=-1) @ split(vv)
+        a = a.permute(0, 2, 1, 3).reshape(b, -1, c)
+        out = a @ torch.tensor(q["proj_out"]["kernel"]) + torch.tensor(q["proj_out"]["bias"])
+        return (seq + out).reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+
+    with torch.no_grad():
+        half = mc // 2
+        freqs = torch.exp(-math.log(10000) * torch.arange(half, dtype=torch.float32) / half)
+        args = torch.tensor(t)[:, None] * freqs[None]
+        e = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+        e = e @ torch.tensor(p["time_embed_0"]["kernel"]) + torch.tensor(p["time_embed_0"]["bias"])
+        e = F.silu(e) @ torch.tensor(p["time_embed_1"]["kernel"]) + torch.tensor(p["time_embed_1"]["bias"])
+
+        h = t_conv(torch.tensor(x).permute(0, 3, 1, 2), p["in_conv"]["kernel"], p["in_conv"]["bias"])
+        h0 = h
+        h1 = t_res(h0, e, p["down_0_0_res"])
+        h2 = t_conv(h1, p["down_0_ds"]["op"]["kernel"], p["down_0_ds"]["op"]["bias"], stride=2)
+        h3 = t_attn(t_res(h2, e, p["down_1_0_res"]), p["down_1_0_attn"])
+        h = t_res(h3, e, p["mid_res1"])
+        h = t_attn(h, p["mid_attn"])
+        h = t_res(h, e, p["mid_res2"])
+        h = t_attn(t_res(torch.cat([h, h3], 1), e, p["up_1_0_res"]), p["up_1_0_attn"])
+        h = t_attn(t_res(torch.cat([h, h2], 1), e, p["up_1_1_res"]), p["up_1_1_attn"])
+        h = h.repeat_interleave(2, dim=2).repeat_interleave(2, dim=3)
+        h = t_conv(h, p["up_1_us"]["conv"]["kernel"], p["up_1_us"]["conv"]["bias"])
+        h = t_res(torch.cat([h, h1], 1), e, p["up_0_0_res"])
+        h = t_res(torch.cat([h, h0], 1), e, p["up_0_1_res"])
+        n = p["out_norm"]["GroupNorm_0"]
+        h = F.silu(F.group_norm(h, math.gcd(mc, 32), torch.tensor(n["scale"]),
+                                torch.tensor(n["bias"]), eps=1e-6))
+        want = t_conv(h, p["out_conv"]["kernel"], p["out_conv"]["bias"]).permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(ours, want, atol=5e-4, rtol=5e-4)
