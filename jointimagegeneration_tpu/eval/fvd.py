@@ -22,7 +22,7 @@ import numpy as np
 
 from .metrics import frechet_distance
 
-__all__ = ["fvd", "downsample_feature_fn", "i3d_feature_fn"]
+__all__ = ["fvd", "downsample_feature_fn", "i3d_feature_fn", "i3d_npz_feature_fn"]
 
 
 def downsample_feature_fn(vol: np.ndarray, levels: int = 3) -> np.ndarray:
@@ -52,6 +52,26 @@ def i3d_feature_fn(checkpoint_path: str) -> Callable[[np.ndarray], np.ndarray]:
         with torch.no_grad():
             out = model(v)
         return out.numpy().reshape(-1)
+
+    return fn
+
+
+def i3d_npz_feature_fn(npz_path: str) -> Callable[[np.ndarray], np.ndarray]:
+    """(D, H, W) -> (400,) extractor from the NATIVE JAX I3D (eval/i3d.py)
+    with weights converted by scripts/convert_i3d_weights.py — FVD features
+    computed on-device (jitted), no torch at eval time."""
+    import jax
+    import jax.numpy as jnp
+
+    from .i3d import i3d_features, load_i3d_npz
+
+    params = load_i3d_npz(npz_path)
+    run = jax.jit(lambda v: i3d_features(params, v))
+
+    def fn(vol: np.ndarray) -> np.ndarray:
+        v = jnp.asarray(vol, jnp.float32)[None, ..., None]  # (1, D, H, W, 1)
+        v = jnp.tile(v, (1, 1, 1, 1, 3)) * 2.0 - 1.0
+        return np.asarray(run(v)).reshape(-1)
 
     return fn
 

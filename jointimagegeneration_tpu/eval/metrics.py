@@ -136,7 +136,9 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
     sa = np.cov(feats_a, rowvar=False)
     sb = np.cov(feats_b, rowvar=False)
     diff = mu_a - mu_b
-    covmean, _ = linalg.sqrtm(sa @ sb, disp=False)
+    covmean = linalg.sqrtm(sa @ sb)
+    if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
+        covmean = covmean[0]
     if not np.isfinite(covmean).all():
         offset = np.eye(sa.shape[0]) * eps
         covmean = linalg.sqrtm((sa + offset) @ (sb + offset))
