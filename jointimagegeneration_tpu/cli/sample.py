@@ -51,6 +51,12 @@ def _load_params(model_init, ckpt_dir):
         raw = CheckpointManager(ckpt_dir).restore_raw()
         ema = raw.get("ema_params", raw) if isinstance(raw, dict) else raw
         fresh = model_init()
+        # learn_logvar checkpoints wrap the tree as {'unet':…, 'logvar':…}
+        # (SliceLDM.init_params); sampling needs only the UNet leaves
+        if isinstance(ema, dict) and "unet" in ema and not (
+            isinstance(fresh, dict) and "unet" in fresh
+        ):
+            ema = ema["unet"]
         try:
             return flax.serialization.from_state_dict(fresh, ema)
         except (ValueError, KeyError):
@@ -81,7 +87,12 @@ def main(argv=None):
         # run_eval the same way as run_train, evaluator.py:355-390)
         from .common import build_dino_feature_fn
 
-        feat_fn, feat_idx, feat_shape = build_dino_feature_fn(s1, spatial, jax.random.key(11))
+        # extractor key must match training's seed+11 (train_mask.py) or an
+        # un-calibrated (weights_path-less) extractor produces different
+        # random features at eval than the UNet was trained against
+        feat_fn, feat_idx, feat_shape = build_dino_feature_fn(
+            s1, spatial, jax.random.key(s1.get("seed", 0) + 11)
+        )
         ms_params = _load_params(
             lambda: ms.init_params(
                 jax.random.key(0), spatial, cond_channels=1,
@@ -174,8 +185,8 @@ def main(argv=None):
             items = [ds[i % len(ds)] for i in cases]
             cond = jnp.stack([jnp.asarray(it["image"]) for it in items])
             pad = bs - len(cases)
-            if pad:  # ragged tail keeps the compiled batch shape
-                cond = jnp.concatenate([cond, jnp.tile(cond[-1:], (pad, 1, 1, 1, 1))])
+            if pad:  # ragged tail keeps the compiled batch shape (any rank)
+                cond = jnp.concatenate([cond, jnp.tile(cond[-1:], (pad,) + (1,) * (cond.ndim - 1))])
             ctx = None if context is None else jnp.tile(context, (cond.shape[0], 1, 1))
             if mesh is not None:
                 # shard_batch handles multihost placement too

@@ -72,10 +72,17 @@ def make_handler(state: dict):
             from ..pipeline.two_stage import normalize_mask_channel, upsample_labels
 
             k1, k2 = jax.random.split(key)
+            fc = None
+            if state.get("feat_fn") is not None:
+                fc = {state["feat_idx"]: state["feat_fn"](cond)}
             labels = state["ms"].sample_labels(
-                msp, k1, (bs, *state["spatial"]), cond=cond, num_steps=mask_steps)
+                msp, k1, (bs, *state["spatial"]), cond=cond, feature_cond=fc,
+                num_steps=mask_steps)
             labels_up = upsample_labels(labels, state["volume_shape"])
             mask_channel = normalize_mask_channel(labels_up, state["ms"].num_classes)
+            # headers go out only once the (fallible) mask stage is done —
+            # from here every failure is reported as an NDJSON error line,
+            # never a second HTTP status into the open 200 body
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.end_headers()
@@ -84,14 +91,22 @@ def make_handler(state: dict):
                 self.wfile.write((json.dumps(obj) + "\n").encode())
                 self.wfile.flush()
 
-            d = int(mask_channel.shape[1])
-            line({"kind": "two_stage_stream", "n_slices": d, "batch": bs,
-                  "labels_nifti_b64": _nifti_b64(np.asarray(labels_up[0]).astype(np.uint8))})
-            for z, s in enumerate(state["ldm"].stream_volume(lp, k2, mask_channel, state["ddim"])):
-                arr = np.asarray(s).astype(np.float16)  # (B, H, W, C)
-                line({"slice": z, "shape": list(arr.shape), "dtype": "float16",
-                      "data_b64": base64.b64encode(arr.tobytes()).decode()})
-            line({"done": True, "elapsed_s": round(time.perf_counter() - t0, 2)})
+            try:
+                d = int(mask_channel.shape[1])
+                line({"kind": "two_stage_stream", "n_slices": d, "batch": bs,
+                      "labels_nifti_b64": _nifti_b64(np.asarray(labels_up[0]).astype(np.uint8))})
+                for z, s in enumerate(state["ldm"].stream_volume(lp, k2, mask_channel, state["ddim"])):
+                    arr = np.asarray(s).astype(np.float16)  # (B, H, W, C)
+                    line({"slice": z, "shape": list(arr.shape), "dtype": "float16",
+                          "data_b64": base64.b64encode(arr.tobytes()).decode()})
+                line({"done": True, "elapsed_s": round(time.perf_counter() - t0, 2)})
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream
+            except Exception as e:
+                try:
+                    line({"error": str(e)})
+                except OSError:
+                    pass
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -121,9 +136,12 @@ def make_handler(state: dict):
                         mesh = make_mesh_for_batch(bs)
                         msp = replicate(mesh, msp)
                         cond = shard_batch(mesh, cond)
+                    fc = None
+                    if state.get("feat_fn") is not None:
+                        fc = {state["feat_idx"]: state["feat_fn"](cond)}
                     batch_labels = np.asarray(
                         ms.sample_labels(
-                            msp, key, (bs, *spatial), cond=cond,
+                            msp, key, (bs, *spatial), cond=cond, feature_cond=fc,
                             num_steps=int(req.get("mask_steps", state["mask_steps"])),
                         )
                     )
@@ -156,10 +174,13 @@ def make_handler(state: dict):
                     if req.get("stream"):
                         self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0)
                         return
+                    fc = None
+                    if state.get("feat_fn") is not None:
+                        fc = {state["feat_idx"]: state["feat_fn"](cond)}
                     ct, labels = pipe(
                         msp, lp, key,
                         mask_shape=(bs, *state["spatial"]), volume_shape=state["volume_shape"],
-                        ddim=state["ddim"], mask_steps=steps, cond=cond,
+                        ddim=state["ddim"], mask_steps=steps, cond=cond, feature_cond=fc,
                     )
                     ct, labels = np.asarray(ct), np.asarray(labels)
                     resp = {
@@ -189,11 +210,23 @@ def main(argv=None):
     s1 = cfg.get("stage1", cfg)
     ms = build_mask_sampler(s1)
     spatial = tuple(s1.get("dataset", {}).get("volume_shape", (64, 128, 128)))
+    # dense DINO conditioning from config (same seed rule as training /
+    # sampling: extractor key = stage-1 seed + 11, cli/train_mask.py)
+    from .common import build_dino_feature_fn
+
+    feat_fn, feat_idx, feat_shape = build_dino_feature_fn(
+        s1, spatial, jax.random.key(s1.get("seed", 0) + 11)
+    )
     ms_params = _load_params(
-        lambda: ms.init_params(jax.random.key(0), spatial, cond_channels=1), s1.get("checkpoint")
+        lambda: ms.init_params(
+            jax.random.key(0), spatial, cond_channels=1,
+            feature_cond_shapes=None if feat_idx is None else {feat_idx: feat_shape},
+        ),
+        s1.get("checkpoint"),
     )
     state = {"ms": ms, "ms_params": ms_params, "spatial": spatial,
-             "mask_steps": cfg.get("mask_steps", 250)}
+             "mask_steps": cfg.get("mask_steps", 250),
+             "feat_fn": feat_fn, "feat_idx": feat_idx}
     if "stage2" in cfg:
         ldm = build_slice_ldm(cfg["stage2"])
         lp = _load_params(

@@ -15,7 +15,13 @@ A single manager with one `best_fn` delivers neither policy: orbax keeps
 score-less saves forever (`keep_checkpoints_without_metrics` default) and
 ranks absent scores as 0.0 against real ones — the round-2 retention bug.
 Splitting the managers also removes same-step double-save ambiguity when
-`save_every` == `eval_every`: the two saves land in different trees."""
+`save_every` == `eval_every`: the two saves land in different trees.
+
+Migration note: a pre-split (round-2) directory holds SCORED checkpoints
+at the root; resuming into it restores them fine, but new rolling saves
+will FIFO-prune those legacy root steps like any others (no best_fn at
+the root anymore).  Copy legacy best checkpoints into `<root>/best`
+before resuming if they must survive retention."""
 
 from __future__ import annotations
 

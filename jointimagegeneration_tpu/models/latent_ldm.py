@@ -111,12 +111,20 @@ class LatentSliceLDM:
 
     # -- training loss ------------------------------------------------------
 
-    def train_loss_inputs(self, ae_params, key, batch_image, batch_cond=None):
-        """Prepare (z0, cond_latent) for make_ldm_train_step-style losses:
-        both the image and the concat condition live in latent space."""
-        kz, kc = jax.random.split(key)
-        z0 = self.encode(ae_params, batch_image, kz)
-        cond_z = self.encode(ae_params, batch_cond, kc) if batch_cond is not None else None
+    def train_loss_inputs(self, ae_params, key, batch_image, batch_cond=None,
+                          cond_ae_params=None):
+        """Prepare (z0, cond_latent) for make_ldm_train_step-style losses.
+        The image goes through the first stage (sampled posterior,
+        scale_factor-scaled — get_input, ddpm.py:662-715); the condition
+        goes through `encode_cond` (cond-stage AE, mode, UNSCALED — the
+        get_learned_conditioning path, ddpm.py:556-568) so the cond
+        distribution the UNet trains on is exactly what sample_volume /
+        sample_slice feed at inference."""
+        z0 = self.encode(ae_params, batch_image, key)
+        cond_z = None
+        if batch_cond is not None:
+            cond_z = self.encode_cond(
+                cond_ae_params if cond_ae_params is not None else ae_params, batch_cond)
         return z0, cond_z
 
     # -- sampling -------------------------------------------------------------
@@ -169,18 +177,27 @@ class LatentSliceLDM:
         def body(carry, mask_slice):
             prev, k = carry
             k, sub = jax.random.split(k)
-            cond_pix = jnp.concatenate([prev, mask_slice], axis=-1)
-            cond_z = self.encode_cond(cond_ae_params, cond_pix)
-            z = self.inner.sample_slice(params, sub, cond_z, ddim, context=context)
-            s = self.decode(ae_params, z)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            s = (s - lo) / jnp.maximum(hi - lo, 1e-8)
+            s = self._volume_slice_step(params, ae_params, cond_ae_params,
+                                        prev, mask_slice, sub, ddim, context=context)
             return (s, k), s
 
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)
         (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
+
+    def _volume_slice_step(self, params, ae_params, cond_ae_params,
+                           prev, mask_slice, k, ddim, context=None):
+        """One latent-path z-step (cond-stage encode → latent DDIM chain →
+        first-stage decode → per-slice min-max normalisation,
+        sample_diffusion.py:221-222) — shared by sample_volume's scan body
+        and stream_volume."""
+        cond_pix = jnp.concatenate([prev, mask_slice], axis=-1)
+        cond_z = self.encode_cond(cond_ae_params, cond_pix)
+        z = self.inner.sample_slice(params, k, cond_z, ddim, context=context)
+        s = self.decode(ae_params, z)
+        lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+        hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+        return (s - lo) / jnp.maximum(hi - lo, 1e-8)
 
     def stream_volume(
         self,
@@ -194,26 +211,27 @@ class LatentSliceLDM:
         init_slice: Optional[jnp.ndarray] = None,
     ):
         """Generator over z yielding each decoded (B, H, W, C) slice —
-        latent-path twin of SliceLDM.stream_volume (per-slice encode →
-        latent DDIM → decode, compiled once, yielded incrementally)."""
+        latent-path twin of SliceLDM.stream_volume (shared
+        _volume_slice_step; the jitted per-slice program is cached on the
+        instance so repeated streaming requests do not retrace)."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
         if cond_ae_params is None:
             cond_ae_params = ae_params
 
-        @jax.jit
-        def one_slice(params, ae_params, cond_ae_params, prev, mask_slice, k):
-            cond_pix = jnp.concatenate([prev, mask_slice], axis=-1)
-            cond_z = self.encode_cond(cond_ae_params, cond_pix)
-            z = self.inner.sample_slice(params, k, cond_z, ddim, context=context)
-            s = self.decode(ae_params, z)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            return (s - lo) / jnp.maximum(hi - lo, 1e-8)
+        cache = self.__dict__.setdefault("_stream_jit_cache", {})
+        one_slice = cache.get("latent")
+        if one_slice is None:
+            def one_slice(params, ae_params, cond_ae_params, prev, mask_slice, k, ddim, context):
+                return self._volume_slice_step(params, ae_params, cond_ae_params,
+                                               prev, mask_slice, k, ddim, context=context)
+
+            one_slice = cache["latent"] = jax.jit(one_slice)
 
         prev = init_slice
         for z in range(d):
             key, sub = jax.random.split(key)
-            prev = one_slice(params, ae_params, cond_ae_params, prev, mask_volume[:, z], sub)
+            prev = one_slice(params, ae_params, cond_ae_params, prev,
+                             mask_volume[:, z], sub, ddim, context)
             yield prev

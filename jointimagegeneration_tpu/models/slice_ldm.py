@@ -154,9 +154,9 @@ class SliceLDM:
             x_T = jax.random.normal(sub, (b, h, w, self.channels))
         use_cfg = guidance_scale != 1.0
 
-        def model_fn(x, t_b, c):
+        def model_fn(x, t_b, c, ctx):
             if tile is None:
-                return self.apply_model(params, x, t_b, cond=c, context=context, y=y)
+                return self.apply_model(params, x, t_b, cond=c, context=ctx, y=y)
             from ..ops.tiling import tiled_apply
 
             joint = x if c is None else jnp.concatenate([x, c.astype(x.dtype)], axis=-1)
@@ -164,7 +164,7 @@ class SliceLDM:
             def fn(window):
                 xw = window[..., : self.channels]
                 cw = None if c is None else window[..., self.channels:]
-                return self.apply_model(params, xw, t_b, cond=cw, context=context, y=y)
+                return self.apply_model(params, xw, t_b, cond=cw, context=ctx, y=y)
 
             return tiled_apply(fn, joint, tile[0], tile[1], out_channels=self.channels)
 
@@ -177,11 +177,13 @@ class SliceLDM:
                 noise = jax.random.normal(sub2, x.shape, x.dtype)
                 x_orig = self.diffusion.q_sample(inpaint_x0, t_b, noise)
                 x = x_orig * inpaint_mask + (1.0 - inpaint_mask) * x
-            e_t = model_fn(x, t_b, cond)
+            e_t = model_fn(x, t_b, cond, context)
             if use_cfg:
-                e_uncond = model_fn(x, t_b, jnp.zeros_like(cond)) if uncond_context is None \
-                    else self.apply_model(params, x, t_b, cond=jnp.zeros_like(cond),
-                                          context=uncond_context, y=y)
+                # the unconditional branch drops BOTH conditioning channels:
+                # zeroed concat + uncond_context (None = no context — the
+                # cross-attn falls back to self-attn), and it runs through
+                # the SAME (possibly tiled) model_fn as the cond branch
+                e_uncond = model_fn(x, t_b, jnp.zeros_like(cond), uncond_context)
                 e_t = e_uncond + guidance_scale * (e_t - e_uncond)
             if guidance_fn is not None:
                 e_t = e_t - jnp.sqrt(1.0 - ddim.alphas[index]) * guidance_fn(x, t_b)
@@ -265,17 +267,25 @@ class SliceLDM:
         def body(carry, mask_slice):
             prev, k = carry
             k, sub = jax.random.split(k)
-            cond = jnp.concatenate([prev, mask_slice], axis=-1)
-            s = self.sample_slice(params, sub, cond, ddim, context=context, y=y, tile=tile)
-            # per-slice min-max normalisation (sample_diffusion.py:222)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            s = (s - lo) / jnp.maximum(hi - lo, 1e-8)
+            s = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
+                                        context=context, y=y, tile=tile)
             return (s, k), s
 
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)  # (D, B, H, W, 1)
         (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
+
+    def _volume_slice_step(self, params, prev, mask_slice, k, ddim,
+                           context=None, y=None, tile=None):
+        """One autoregressive z-step: [prev generated | mask] concat-cond
+        DDIM chain + per-slice min-max normalisation
+        (sample_diffusion.py:222) — the single definition shared by
+        sample_volume's scan body and stream_volume."""
+        cond = jnp.concatenate([prev, mask_slice], axis=-1)
+        s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile)
+        lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+        hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+        return (s - lo) / jnp.maximum(hi - lo, 1e-8)
 
     def stream_volume(
         self,
@@ -289,24 +299,27 @@ class SliceLDM:
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
     ):
         """Generator over z: yields each (B, H, W, C) slice as it is
-        produced.  Same math as `sample_volume` (one jitted per-slice DDIM
-        chain, compiled once, called per z from the host) but consumers see
-        slices incrementally — the serving analog of the reference's
-        per-slice debug dump inside sample_cond (sample_diffusion.py:223)."""
+        produced.  Same math as `sample_volume` (shared _volume_slice_step)
+        but consumers see slices incrementally — the serving analog of the
+        reference's per-slice debug dump inside sample_cond
+        (sample_diffusion.py:223).  The jitted per-slice program is cached
+        on the instance so repeated streaming requests do not retrace."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
 
-        @jax.jit
-        def one_slice(params, prev, mask_slice, k):
-            cond = jnp.concatenate([prev, mask_slice], axis=-1)
-            s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            return (s - lo) / jnp.maximum(hi - lo, 1e-8)
+        # frozen dataclass: mutate __dict__ directly for the jit cache
+        cache = self.__dict__.setdefault("_stream_jit_cache", {})
+        one_slice = cache.get(tile)
+        if one_slice is None:
+            def one_slice(params, prev, mask_slice, k, ddim, context, y):
+                return self._volume_slice_step(params, prev, mask_slice, k, ddim,
+                                               context=context, y=y, tile=tile)
+
+            one_slice = cache[tile] = jax.jit(one_slice)
 
         prev = init_slice
         for z in range(d):
             key, sub = jax.random.split(key)
-            prev = one_slice(params, prev, mask_volume[:, z], sub)
+            prev = one_slice(params, prev, mask_volume[:, z], sub, ddim, context, y)
             yield prev

@@ -357,3 +357,63 @@ def test_dataset_kinds_exposed(tmp_path):
 
     with pytest.raises(KeyError):
         build_slice_dataset({"dataset": {"kind": "nnunet"}}, "train")  # root required
+
+
+# ------------------------------------------- round-3 review regression fixes
+
+
+@pytest.mark.slow
+def test_sample_load_params_unwraps_learned_logvar(tmp_path):
+    """A learn_logvar checkpoint ({'unet':…, 'logvar':…} tree) restores
+    into the plain sampling template — _load_params drops the wrapper
+    instead of crashing on the key mismatch."""
+    import flax.serialization
+
+    from jointimagegeneration_tpu.cli.sample import _load_params
+    from jointimagegeneration_tpu.core.checkpoint import CheckpointManager
+    from jointimagegeneration_tpu.models import SliceLDM
+    from jointimagegeneration_tpu.train import EMATrainState, build_optimizer
+
+    model = SliceLDM.create(
+        image_channels=1, cond_channels=2, timesteps=6, model_channels=8,
+        channel_mult=(1, 2), attention_resolutions=(), num_res_blocks=1,
+        num_head_channels=4,
+    )
+    params = model.init_params(jax.random.key(0), 8, learn_logvar=True, logvar_init=0.25)
+    state = EMATrainState.create(params, build_optimizer("Adam", 1e-3))
+    ck = CheckpointManager(tmp_path / "ck")
+    ck.save(1, flax.serialization.to_state_dict(state))
+    ck.wait()
+    ck.close()
+
+    restored = _load_params(lambda: model.init_params(jax.random.key(2), 8),
+                            str(tmp_path / "ck"))
+    assert "logvar" not in restored
+    want = np.asarray(jax.tree.leaves(params["unet"])[0])
+    got = np.asarray(jax.tree.leaves(restored)[0])
+    np.testing.assert_allclose(got, want)
+
+
+@pytest.mark.slow
+def test_mask_sample_cli_2d_ragged_tail(tmp_path):
+    """2D mask sampling with n_cases % batch_size != 0: the ragged-tail
+    padding must tile at the cond's own rank (4-D for 2D configs), not a
+    hard-coded 5-D rep."""
+    from jointimagegeneration_tpu.cli import sample as sample_cli
+
+    cfg = {
+        "stage": "mask", "n_cases": 3, "batch_size": 2, "mask_steps": 2, "seed": 2,
+        "output_path": str(tmp_path / "samples"),
+        "stage1": {
+            "num_classes": 3, "time_steps": 6, "dims": 2, "bf16": False,
+            "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                            "attention_resolutions": [], "num_res_blocks": 1,
+                            "num_head_channels": 4},
+            "dataset": {"kind": "synthetic", "num_cases": 3, "volume_shape": [16, 16]},
+        },
+    }
+    p = tmp_path / "mask2d.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    sample_cli.main([str(p)])
+    for i in range(3):
+        assert (tmp_path / "samples" / f"case_{i:04d}" / "pred.nii.gz").exists()
