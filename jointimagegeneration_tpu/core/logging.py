@@ -18,7 +18,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-__all__ = ["MetricLogger", "Throughput", "hbm_stats", "profile_trace"]
+__all__ = ["MetricLogger", "Throughput", "hbm_stats", "profile_trace", "summarize_trace"]
 
 
 class MetricLogger:
@@ -114,3 +114,36 @@ class profile_trace:
     def __exit__(self, *exc):
         jax.profiler.stop_trace()
         return False
+
+
+def summarize_trace(logdir, top_k: int = 20):
+    """Per-op device-time breakdown from a `profile_trace` capture.
+
+    Parses the newest `*.trace.json.gz` under `<logdir>/plugins/profile/`,
+    keeps complete ('X') events on DEVICE process lanes (process_name
+    starting with '/device:'), and aggregates wall time by op name.
+    Returns [(name, total_ms, count)] sorted by total time, longest first —
+    the per-op view the reference got from nvidia-smi/profiler summaries
+    (SURVEY §5 tracing), here from XLA's own device timeline."""
+    import glob
+    import gzip
+
+    files = sorted(glob.glob(str(Path(logdir) / "plugins" / "profile" / "*" / "*.trace.json.gz")))
+    if not files:
+        return []
+    with gzip.open(files[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and str(e.get("args", {}).get("name", "")).startswith("/device:")
+    }
+    agg: Dict[str, list] = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids and "dur" in e:
+            s = agg.setdefault(e.get("name", "?"), [0.0, 0])
+            s[0] += float(e["dur"]) / 1e3  # µs -> ms
+            s[1] += 1
+    rows = sorted(((n, t, c) for n, (t, c) in agg.items()), key=lambda r: -r[1])
+    return rows[:top_k]

@@ -54,3 +54,30 @@ def test_label_and_image_grids():
     vol = np.random.default_rng(1).random((4, 8, 8))
     g2 = image_volume_to_grid(vol, every=2)
     assert g2.dtype == np.uint8
+
+
+def test_summarize_trace_parses_device_lanes(tmp_path):
+    """summarize_trace aggregates X-events on /device: lanes only, sorted
+    by total time (host-lane python noise excluded)."""
+    import gzip
+    import json as _json
+
+    from jointimagegeneration_tpu.core.logging import summarize_trace
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "name": "process_name", "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "name": "fusion", "dur": 1500.0},
+        {"ph": "X", "pid": 3, "name": "fusion", "dur": 500.0},
+        {"ph": "X", "pid": 3, "name": "copy-done", "dur": 100.0},
+        {"ph": "X", "pid": 7, "name": "python_noise", "dur": 9999.0},
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        _json.dump({"traceEvents": events}, f)
+    rows = summarize_trace(tmp_path)
+    assert rows[0] == ("fusion", 2.0, 2)
+    assert rows[1][0] == "copy-done"
+    assert all(name != "python_noise" for name, _, _ in rows)
+    assert summarize_trace(tmp_path / "nothing_here") == []
