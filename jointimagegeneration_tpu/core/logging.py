@@ -116,14 +116,22 @@ class profile_trace:
         return False
 
 
-def summarize_trace(logdir, top_k: int = 20):
+def summarize_trace(logdir, top_k: int = 20, group: str = "name"):
     """Per-op device-time breakdown from a `profile_trace` capture.
 
     Parses the newest `*.trace.json.gz` under `<logdir>/plugins/profile/`,
     keeps complete ('X') events on DEVICE process lanes (process_name
-    starting with '/device:'), and aggregates wall time by op name.
-    Returns [(name, total_ms, count)] sorted by total time, longest first —
-    the per-op view the reference got from nvidia-smi/profiler summaries
+    starting with '/device:'), and aggregates wall time by `group`:
+      - "name":     raw HLO instruction name (fusion.NNN, …)
+      - "category": XLA's `hlo_category` arg (convolution fusion, loop fusion, …)
+      - "tf_op":    the jit module path XLA stamps on each op
+                    (…/UNet/up_0_0_res/conv_general_dilated) — maps device
+                    time back to model code
+    Returns [(key, total_ms, count, gflop, gbytes)] sorted by total time,
+    longest first; gflop/gbytes come from XLA's per-op cost analysis
+    (`model_flops` / `bytes_accessed`), so achieved TF/s = gflop/total_ms and
+    GB/s = gbytes/total_ms per row — a roofline view per op. This is the
+    per-op view the reference got from nvidia-smi/profiler summaries
     (SURVEY §5 tracing), here from XLA's own device timeline."""
     import glob
     import gzip
@@ -142,8 +150,25 @@ def summarize_trace(logdir, top_k: int = 20):
     agg: Dict[str, list] = {}
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in device_pids and "dur" in e:
-            s = agg.setdefault(e.get("name", "?"), [0.0, 0])
+            args = e.get("args", {})
+            if group != "name" and args.get("hlo_category", "?") in ("?", "while", "conditional", "call"):
+                continue  # control-flow envelopes wrap the whole capture and double-count time
+            if group == "category":
+                key = args.get("hlo_category", "?")
+            elif group == "tf_op":
+                # strip the jit(...)/while/body wrapper prefix and trailing ':'
+                key = args.get("tf_op", e.get("name", "?")).rstrip(":")
+                for marker in ("closed_call/", "body/"):
+                    if marker in key:
+                        key = key.rsplit(marker, 1)[-1]
+            else:
+                key = e.get("name", "?")
+            s = agg.setdefault(key, [0.0, 0, 0.0, 0.0])
             s[0] += float(e["dur"]) / 1e3  # µs -> ms
             s[1] += 1
-    rows = sorted(((n, t, c) for n, (t, c) in agg.items()), key=lambda r: -r[1])
+            s[2] += float(args.get("model_flops", 0)) / 1e9
+            s[3] += float(args.get("bytes_accessed", 0)) / 1e9
+    rows = sorted(
+        ((n, t, c, gf, gb) for n, (t, c, gf, gb) in agg.items()), key=lambda r: -r[1]
+    )
     return rows[:top_k]

@@ -30,18 +30,28 @@ if jax.default_backend() != "cpu":
 
 
 def _print(title, rows):
-    print(f"\n== {title}: top device ops by total time ==")
+    print(f"\n== {title} ==")
     if not rows:
         print("  (no device events captured)")
         return
-    total = sum(t for _, t, _ in rows)
-    print(f"  {'op':60s} {'ms':>10s} {'count':>7s} {'share':>7s}")
-    for name, t, c in rows:
-        print(f"  {name[:60]:60s} {t:10.3f} {c:7d} {100 * t / total:6.1f}%")
+    total = sum(r[1] for r in rows)
+    print(f"  {'op':58s} {'ms':>9s} {'cnt':>5s} {'share':>6s} {'TF/s':>6s} {'GB/s':>7s}")
+    for name, t, c, gf, gb in rows:
+        tfs = gf / t if t else 0.0  # gflop/ms == tflop/s
+        gbs = gb / t * 1e3 if t else 0.0  # gbyte/ms -> GB/s
+        print(f"  {name[:58]:58s} {t:9.3f} {c:5d} {100 * t / total:5.1f}% {tfs:6.1f} {gbs:7.1f}")
+
+
+def _report(title, logdir):
+    from jointimagegeneration_tpu.core.logging import summarize_trace
+
+    _print(f"{title}: by HLO category", summarize_trace(logdir, group="category"))
+    _print(f"{title}: by model op (tf_op)", summarize_trace(logdir, top_k=25, group="tf_op"))
+    _print(f"{title}: top fusions", summarize_trace(logdir, top_k=12))
 
 
 def profile_stage1(logdir):
-    from jointimagegeneration_tpu.core.logging import profile_trace, summarize_trace
+    from jointimagegeneration_tpu.core.logging import profile_trace
     from jointimagegeneration_tpu.models import MaskSampler
 
     spatial = (64, 128, 128)
@@ -60,11 +70,11 @@ def profile_stage1(logdir):
     _ = float(run(params, jax.random.key(1)))  # compile + relay warm
     with profile_trace(logdir):
         _ = float(run(params, jax.random.key(2)))
-    _print("stage-1 denoise (5-step chain, 64x128x128)", summarize_trace(logdir))
+    _report("stage-1 denoise (5-step chain, 64x128x128)", logdir)
 
 
 def profile_stage2(logdir):
-    from jointimagegeneration_tpu.core.logging import profile_trace, summarize_trace
+    from jointimagegeneration_tpu.core.logging import profile_trace
     from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
     from jointimagegeneration_tpu.models import SliceLDM
 
@@ -86,7 +96,7 @@ def profile_stage2(logdir):
     _ = float(run(params, jax.random.key(2)))
     with profile_trace(logdir):
         _ = float(run(params, jax.random.key(3)))
-    _print("stage-2 DDIM (10-step chain, 512^2)", summarize_trace(logdir))
+    _report("stage-2 DDIM (10-step chain, 512^2)", logdir)
 
 
 def main():

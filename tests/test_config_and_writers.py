@@ -58,7 +58,8 @@ def test_label_and_image_grids():
 
 def test_summarize_trace_parses_device_lanes(tmp_path):
     """summarize_trace aggregates X-events on /device: lanes only, sorted
-    by total time (host-lane python noise excluded)."""
+    by total time (host-lane python noise excluded), with flop/byte sums
+    from the XLA cost-analysis args and category/tf_op grouping."""
     import gzip
     import json as _json
 
@@ -66,18 +67,28 @@ def test_summarize_trace_parses_device_lanes(tmp_path):
 
     d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
     d.mkdir(parents=True)
+    conv_args = {
+        "hlo_category": "convolution fusion",
+        "tf_op": "jit(run)/while/body/closed_call/UNet/res0/conv_general_dilated:",
+        "model_flops": "2000000000",
+        "bytes_accessed": "500000000",
+    }
     events = [
         {"ph": "M", "pid": 3, "name": "process_name", "args": {"name": "/device:TPU:0"}},
         {"ph": "M", "pid": 7, "name": "process_name", "args": {"name": "/host:CPU"}},
-        {"ph": "X", "pid": 3, "name": "fusion", "dur": 1500.0},
-        {"ph": "X", "pid": 3, "name": "fusion", "dur": 500.0},
+        {"ph": "X", "pid": 3, "name": "fusion", "dur": 1500.0, "args": conv_args},
+        {"ph": "X", "pid": 3, "name": "fusion", "dur": 500.0, "args": conv_args},
         {"ph": "X", "pid": 3, "name": "copy-done", "dur": 100.0},
         {"ph": "X", "pid": 7, "name": "python_noise", "dur": 9999.0},
     ]
     with gzip.open(d / "host.trace.json.gz", "wt") as f:
         _json.dump({"traceEvents": events}, f)
     rows = summarize_trace(tmp_path)
-    assert rows[0] == ("fusion", 2.0, 2)
+    assert rows[0] == ("fusion", 2.0, 2, 4.0, 1.0)  # ms, count, gflop, gbytes
     assert rows[1][0] == "copy-done"
-    assert all(name != "python_noise" for name, _, _ in rows)
+    assert all(r[0] != "python_noise" for r in rows)
+    by_cat = summarize_trace(tmp_path, group="category")
+    assert by_cat[0][0] == "convolution fusion" and by_cat[0][1] == 2.0
+    by_op = summarize_trace(tmp_path, group="tf_op")
+    assert by_op[0][0] == "UNet/res0/conv_general_dilated"
     assert summarize_trace(tmp_path / "nothing_here") == []
