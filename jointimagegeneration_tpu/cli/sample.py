@@ -260,6 +260,7 @@ def main(argv=None):
                 feature_cond=fc,
                 ae_params=ae_params if latent is not None else None,
                 cond_ae_params=cond_ae_params if latent is not None else None,
+                guidance_scale=float(cfg.get("guidance_scale", s2.get("guidance_scale", 1.0))),
             )
             for j in range(min(bs, n_cases - c0)):
                 cdir = outdir / f"case_{c0 + j:04d}"
@@ -297,7 +298,10 @@ def main(argv=None):
                 tile = None
                 if tcfg:
                     tile = (tuple(tcfg["patch"]), tuple(tcfg.get("stride", tcfg["patch"])))
-                vol = ldm.sample_volume(ldm_params, sub, mask, ddim, tile=tile)
+                # classifier-free guidance (reference CFG branch, ddim.py:172-179)
+                gs = float(cfg.get("guidance_scale", s2.get("guidance_scale", 1.0)))
+                vol = ldm.sample_volume(ldm_params, sub, mask, ddim, tile=tile,
+                                        guidance_scale=gs)
                 vol = np.asarray(vol[0, ..., 0])
             save_image_volume(case_dir / "image.nii.gz", vol)
             save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))

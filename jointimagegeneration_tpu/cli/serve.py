@@ -64,7 +64,8 @@ def make_handler(state: dict):
         def log_message(self, *a):  # quiet
             pass
 
-        def _stream_two_stage(self, state, msp, lp, key, bs, cond, mask_steps, t0):
+        def _stream_two_stage(self, state, msp, lp, key, bs, cond, mask_steps, t0,
+                              guidance_scale=1.0):
             """NDJSON streaming: the mask volume first, then one line per
             generated CT slice AS the autoregressive z-loop produces it
             (stream_volume host generator), then a summary line.  HTTP/1.0
@@ -95,7 +96,9 @@ def make_handler(state: dict):
                 d = int(mask_channel.shape[1])
                 line({"kind": "two_stage_stream", "n_slices": d, "batch": bs,
                       "labels_nifti_b64": _nifti_b64(np.asarray(labels_up[0]).astype(np.uint8))})
-                for z, s in enumerate(state["ldm"].stream_volume(lp, k2, mask_channel, state["ddim"])):
+                for z, s in enumerate(state["ldm"].stream_volume(
+                        lp, k2, mask_channel, state["ddim"],
+                        guidance_scale=guidance_scale)):
                     arr = np.asarray(s).astype(np.float16)  # (B, H, W, C)
                     line({"slice": z, "shape": list(arr.shape), "dtype": "float16",
                           "data_b64": base64.b64encode(arr.tobytes()).decode()})
@@ -171,8 +174,10 @@ def make_handler(state: dict):
                         msp, lp = replicate(mesh, (msp, lp))
                         cond = shard_batch(mesh, cond)
                     steps = int(req.get("mask_steps", state["mask_steps"]))
+                    gs = float(req.get("guidance_scale", 1.0))
                     if req.get("stream"):
-                        self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0)
+                        self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0,
+                                               guidance_scale=gs)
                         return
                     fc = None
                     if state.get("feat_fn") is not None:
@@ -181,6 +186,7 @@ def make_handler(state: dict):
                         msp, lp, key,
                         mask_shape=(bs, *state["spatial"]), volume_shape=state["volume_shape"],
                         ddim=state["ddim"], mask_steps=steps, cond=cond, feature_cond=fc,
+                        guidance_scale=gs,
                     )
                     ct, labels = np.asarray(ct), np.asarray(labels)
                     resp = {

@@ -159,6 +159,7 @@ class LatentSliceLDM:
         cond_ae_params=None,
         context: Optional[jnp.ndarray] = None,
         init_slice: Optional[jnp.ndarray] = None,
+        guidance_scale: float = 1.0,
     ) -> jnp.ndarray:
         """Latent-space equivalent of SliceLDM.sample_volume — the
         reference's sample_cond drive with a first stage
@@ -178,7 +179,8 @@ class LatentSliceLDM:
             prev, k = carry
             k, sub = jax.random.split(k)
             s = self._volume_slice_step(params, ae_params, cond_ae_params,
-                                        prev, mask_slice, sub, ddim, context=context)
+                                        prev, mask_slice, sub, ddim, context=context,
+                                        guidance_scale=guidance_scale)
             return (s, k), s
 
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)
@@ -186,14 +188,16 @@ class LatentSliceLDM:
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
 
     def _volume_slice_step(self, params, ae_params, cond_ae_params,
-                           prev, mask_slice, k, ddim, context=None):
+                           prev, mask_slice, k, ddim, context=None,
+                           guidance_scale=1.0):
         """One latent-path z-step (cond-stage encode → latent DDIM chain →
         first-stage decode → per-slice min-max normalisation,
         sample_diffusion.py:221-222) — shared by sample_volume's scan body
         and stream_volume."""
         cond_pix = jnp.concatenate([prev, mask_slice], axis=-1)
         cond_z = self.encode_cond(cond_ae_params, cond_pix)
-        z = self.inner.sample_slice(params, k, cond_z, ddim, context=context)
+        z = self.inner.sample_slice(params, k, cond_z, ddim, context=context,
+                                    guidance_scale=guidance_scale)
         s = self.decode(ae_params, z)
         lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
         hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
@@ -209,6 +213,7 @@ class LatentSliceLDM:
         cond_ae_params=None,
         context: Optional[jnp.ndarray] = None,
         init_slice: Optional[jnp.ndarray] = None,
+        guidance_scale: float = 1.0,
     ):
         """Generator over z yielding each decoded (B, H, W, C) slice —
         latent-path twin of SliceLDM.stream_volume (shared
@@ -221,13 +226,14 @@ class LatentSliceLDM:
             cond_ae_params = ae_params
 
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
-        one_slice = cache.get("latent")
+        one_slice = cache.get(("latent", guidance_scale))
         if one_slice is None:
             def one_slice(params, ae_params, cond_ae_params, prev, mask_slice, k, ddim, context):
                 return self._volume_slice_step(params, ae_params, cond_ae_params,
-                                               prev, mask_slice, k, ddim, context=context)
+                                               prev, mask_slice, k, ddim, context=context,
+                                               guidance_scale=guidance_scale)
 
-            one_slice = cache["latent"] = jax.jit(one_slice)
+            one_slice = cache[("latent", guidance_scale)] = jax.jit(one_slice)
 
         prev = init_slice
         for z in range(d):

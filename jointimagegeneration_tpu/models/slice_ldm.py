@@ -137,11 +137,11 @@ class SliceLDM:
         """DDIM chain for one slice, scan-compiled.
 
         `guidance_scale` > 1 enables classifier-free guidance
-        (ddim.py:172-179): e = e_uncond + s*(e_cond - e_uncond), with the
-        unconditional branch batched alongside the conditional one rather
-        than the reference's concat-then-chunk (same math, half the
-        dispatches).  `guidance_fn(x, t) -> grad` adds classifier guidance
-        (models/classifier.py).
+        (ddim.py:172-179): e = e_uncond + s*(e_cond - e_uncond), run as two
+        sequential b=B UNet calls — measured FASTER on v5e than the
+        reference's concat-then-chunk b=2B batching at the hot shapes
+        (BENCH_NOTES round-3 "CFG batching").  `guidance_fn(x, t) -> grad`
+        adds classifier guidance (models/classifier.py).
 
         `tile=((ph, pw), (sh, sw))` runs the UNet itself patch-tiled with
         border-weighted stitching every diffusion step — the reference's
@@ -182,7 +182,12 @@ class SliceLDM:
                 # the unconditional branch drops BOTH conditioning channels:
                 # zeroed concat + uncond_context (None = no context — the
                 # cross-attn falls back to self-attn), and it runs through
-                # the SAME (possibly tiled) model_fn as the cond branch
+                # the SAME (possibly tiled) model_fn as the cond branch.
+                # Deliberately TWO b=B calls, not one b=2B call: on v5e the
+                # 512² UNet forward costs 3.3x at b=2 (94 vs 57 ms/sample —
+                # XLA's large-spatial conv schedules degrade with batch), so
+                # concat-then-chunk batching LOSES 1.69x here: 188 vs
+                # 111 ms/step (BENCH_NOTES round-3 "CFG batching" entry).
                 e_uncond = model_fn(x, t_b, jnp.zeros_like(cond), uncond_context)
                 e_t = e_uncond + guidance_scale * (e_t - e_uncond)
             if guidance_fn is not None:
@@ -254,6 +259,7 @@ class SliceLDM:
         y: Optional[jnp.ndarray] = None,
         init_slice: Optional[jnp.ndarray] = None,
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+        guidance_scale: float = 1.0,
     ) -> jnp.ndarray:
         """Generate all D slices autoregressively; returns (B, D, H, W, C).
 
@@ -268,7 +274,8 @@ class SliceLDM:
             prev, k = carry
             k, sub = jax.random.split(k)
             s = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
-                                        context=context, y=y, tile=tile)
+                                        context=context, y=y, tile=tile,
+                                        guidance_scale=guidance_scale)
             return (s, k), s
 
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)  # (D, B, H, W, 1)
@@ -276,13 +283,14 @@ class SliceLDM:
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
 
     def _volume_slice_step(self, params, prev, mask_slice, k, ddim,
-                           context=None, y=None, tile=None):
+                           context=None, y=None, tile=None, guidance_scale=1.0):
         """One autoregressive z-step: [prev generated | mask] concat-cond
         DDIM chain + per-slice min-max normalisation
         (sample_diffusion.py:222) — the single definition shared by
         sample_volume's scan body and stream_volume."""
         cond = jnp.concatenate([prev, mask_slice], axis=-1)
-        s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile)
+        s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile,
+                              guidance_scale=guidance_scale)
         lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
         hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
         return (s - lo) / jnp.maximum(hi - lo, 1e-8)
@@ -297,6 +305,7 @@ class SliceLDM:
         y: Optional[jnp.ndarray] = None,
         init_slice: Optional[jnp.ndarray] = None,
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+        guidance_scale: float = 1.0,
     ):
         """Generator over z: yields each (B, H, W, C) slice as it is
         produced.  Same math as `sample_volume` (shared _volume_slice_step)
@@ -310,13 +319,14 @@ class SliceLDM:
 
         # frozen dataclass: mutate __dict__ directly for the jit cache
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
-        one_slice = cache.get(tile)
+        one_slice = cache.get((tile, guidance_scale))
         if one_slice is None:
             def one_slice(params, prev, mask_slice, k, ddim, context, y):
                 return self._volume_slice_step(params, prev, mask_slice, k, ddim,
-                                               context=context, y=y, tile=tile)
+                                               context=context, y=y, tile=tile,
+                                               guidance_scale=guidance_scale)
 
-            one_slice = cache[tile] = jax.jit(one_slice)
+            one_slice = cache[(tile, guidance_scale)] = jax.jit(one_slice)
 
         prev = init_slice
         for z in range(d):

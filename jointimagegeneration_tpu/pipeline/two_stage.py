@@ -68,6 +68,7 @@ class TwoStagePipeline:
         feature_cond: Optional[dict] = None,
         ae_params=None,
         cond_ae_params=None,
+        guidance_scale: float = 1.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (ct_volume (B,D',H',W',C), labels (B,D',H',W'))."""
         if isinstance(self.slice_ldm, LatentSliceLDM) and ae_params is None:
@@ -83,7 +84,9 @@ class TwoStagePipeline:
             ct = self.slice_ldm.sample_volume(
                 ldm_params, ae_params, k2, mask_channel, ddim,
                 cond_ae_params=cond_ae_params, context=context,
+                guidance_scale=guidance_scale,
             )
         else:
-            ct = self.slice_ldm.sample_volume(ldm_params, k2, mask_channel, ddim, context=context)
+            ct = self.slice_ldm.sample_volume(ldm_params, k2, mask_channel, ddim, context=context,
+                                              guidance_scale=guidance_scale)
         return ct, labels_up

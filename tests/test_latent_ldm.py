@@ -94,6 +94,13 @@ def test_cfg_changes_output():
     a = ldm.sample_slice(params, jax.random.key(1), cond, ddim, guidance_scale=1.0)
     b = ldm.sample_slice(params, jax.random.key(1), cond, ddim, guidance_scale=3.0)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+    # CFG threads through the autoregressive volume sampler (the CLI's
+    # `guidance_scale:` route) and changes its output too
+    mask = jnp.ones((1, 2, 16, 16, 1))
+    va = ldm.sample_volume(params, jax.random.key(2), mask, ddim, guidance_scale=1.0)
+    vb = ldm.sample_volume(params, jax.random.key(2), mask, ddim, guidance_scale=3.0)
+    assert va.shape == (1, 2, 16, 16, 1)
+    assert np.abs(np.asarray(va) - np.asarray(vb)).max() > 0
 
 
 def test_plms_slice_sampler():

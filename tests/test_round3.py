@@ -266,13 +266,15 @@ def test_apply_model_tiling_oversized_slice():
 
 @pytest.mark.slow
 def test_tile_config_key_ct_sample_cli(tmp_path):
-    """`tile: {patch, stride}` in the sample config routes the diffusion-loop
-    UNet through fold/unfold tiling end to end (stage: ct)."""
+    """`tile: {patch, stride}` and `guidance_scale:` in the sample config
+    route the diffusion-loop UNet through fold/unfold tiling + CFG end to
+    end (stage: ct)."""
     from jointimagegeneration_tpu.cli import sample as sample_cli
 
     cfg = {
         "stage": "ct", "n_cases": 1, "ddim_steps": 2, "seed": 5,
         "output_path": str(tmp_path / "samples"),
+        "guidance_scale": 2.0,
         "tile": {"patch": [16, 16], "stride": [8, 8]},
         "stage2": {
             "timesteps": 8, "bf16": False, "slice_size": 24,
