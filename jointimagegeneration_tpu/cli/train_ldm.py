@@ -73,7 +73,7 @@ def main(argv=None):
     )
 
     # ImageLogger parity (main.py:419-449): periodic qualitative panels
-    # from SliceLDM.log_images (samples / denoise row / inpaint) + val loss
+    # from SliceLDM.log_images (samples / denoise row / inpaint / outpaint) + val loss
     from ..diffusion.ddim import DDIMParams
 
     val_ds = build_slice_dataset(cfg, "val")
@@ -97,7 +97,7 @@ def main(argv=None):
         if logger:
             from ..eval.writers import image_volume_to_grid
 
-            for name in ("inputs", "samples", "inpaint"):
+            for name in ("inputs", "samples", "inpaint", "outpaint"):
                 logger.image(step, f"val/{name}", image_volume_to_grid(panels[name][..., 0]))
             logger.image(
                 step, "val/denoise_row", image_volume_to_grid(panels["denoise_row"][:, 0, ..., 0])

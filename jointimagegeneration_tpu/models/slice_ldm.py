@@ -226,24 +226,38 @@ class SliceLDM:
     def log_images(self, params, key: jax.Array, batch: dict, ddim: DDIMParams, n_row: int = 4) -> dict:
         """Qualitative logging dict (LatentDiffusion.log_images,
         ddpm.py:1263-1372 / ImageLogger main.py:419-449): inputs,
-        reconstruction-free samples, a denoise-progression row, and an
-        inpainting panel (left half kept)."""
+        reconstruction-free samples, a denoise-progression row, and
+        inpainting / outpainting panels (left half kept / regenerated —
+        the mask and its complement, ddpm.py:1345-1358)."""
         import numpy as np
 
         x = batch["image"][:n_row]
         cond = batch.get("cond")
         cond = cond[:n_row] if cond is not None else jnp.zeros(x.shape[:-1] + (self.cond_channels,))
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         samples, inter = self.sample_slice(params, k1, cond, ddim, return_intermediates=True)
         every = max(1, inter.shape[0] // 6)
         denoise_row = inter[::every]  # (R, B, H, W, C)
         mask = jnp.zeros_like(x).at[:, :, : x.shape[2] // 2].set(1.0)
         inpaint = self.sample_slice(params, k2, cond, ddim, inpaint_mask=mask, inpaint_x0=x)
+        outpaint = self.sample_slice(params, k3, cond, ddim, inpaint_mask=1.0 - mask,
+                                     inpaint_x0=x)
+        # forward-noising progression of the first input (diffusion_row,
+        # ddpm.py:1273-1285): q_sample at ~6 evenly spaced t levels
+        T = self.diffusion.num_timesteps
+        ts = jnp.linspace(0, T - 1, num=min(6, T)).astype(jnp.int32)
+        diffusion_row = jax.vmap(
+            lambda t, k: self.diffusion.q_sample(
+                x, jnp.full((x.shape[0],), t, jnp.int32),
+                jax.random.normal(k, x.shape, x.dtype))
+        )(ts, jax.random.split(k1, ts.shape[0]))  # (R, B, H, W, C)
         return {
             "inputs": np.asarray(x),
             "samples": np.asarray(samples),
             "denoise_row": np.asarray(denoise_row),
+            "diffusion_row": np.asarray(diffusion_row),
             "inpaint": np.asarray(inpaint),
+            "outpaint": np.asarray(outpaint),
             "conditioning": np.asarray(cond),
         }
 

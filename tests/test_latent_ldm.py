@@ -75,8 +75,12 @@ def test_log_images_keys():
     ddim = DDIMParams.create(ldm.diffusion, 5)
     batch = {"image": jnp.zeros((2, 16, 16, 1)), "cond": jnp.zeros((2, 16, 16, 2))}
     logs = ldm.log_images(params, jax.random.key(1), batch, ddim, n_row=2)
-    assert {"inputs", "samples", "denoise_row", "inpaint", "conditioning"} <= set(logs)
+    assert {"inputs", "samples", "denoise_row", "diffusion_row", "inpaint",
+            "outpaint", "conditioning"} <= set(logs)
     assert logs["samples"].shape == (2, 16, 16, 1)
+    assert logs["outpaint"].shape == (2, 16, 16, 1)
+    assert np.isfinite(logs["outpaint"]).all()
+    assert logs["diffusion_row"].shape == (6, 2, 16, 16, 1)
 
 
 def test_cfg_changes_output():
