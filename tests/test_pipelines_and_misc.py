@@ -226,7 +226,8 @@ def test_serve_two_stage_stream_and_batch():
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
-        body = json.dumps({"kind": "two_stage", "seed": 1, "stream": True}).encode()
+        body = json.dumps({"kind": "two_stage", "seed": 1, "stream": True,
+                           "guidance_scale": 2.0}).encode()
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate", data=body,
             headers={"Content-Type": "application/json"},
