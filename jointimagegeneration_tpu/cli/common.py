@@ -24,6 +24,7 @@ from ..train import EMATrainState, build_optimizer
 __all__ = [
     "build_mask_sampler", "build_slice_ldm", "build_mask_dataset",
     "build_slice_dataset", "build_autoencoder", "build_dino_feature_fn",
+    "feature_cond",
 ]
 
 
@@ -37,10 +38,18 @@ def build_dino_feature_fn(cfg: dict, spatial, key: Optional[jax.Array] = None):
     `feat_fn` is a jittable (B, H, W, C) images -> (B, th, tw, D) map at
     the injection-site grid and `site_shape` = (th, tw, D) for
     init_params(feature_cond_shapes=...).  (None, None, None) when the
-    config has no dino encoder."""
+    config has no dino encoder.
+
+    With `key=None` the extractor key derives canonically as
+    `seed + 11` from the SAME config — every surface (train_mask, sample,
+    serve) must share this rule: an uncalibrated extractor initialised
+    from a different key silently produces different random features than
+    the UNet was trained against."""
     fce = cfg.get("feature_cond_encoder", {}) or {}
     if fce.get("type") != "dino":
         return None, None, None
+    if key is None:
+        key = jax.random.key(cfg.get("seed", 0) + 11)
     if cfg.get("dims", 3) != 2:
         raise ValueError(
             "dino dense feature conditioning is 2D (the reference extractor is a 2D "
@@ -52,7 +61,7 @@ def build_dino_feature_fn(cfg: dict, spatial, key: Optional[jax.Array] = None):
         make_dense_feature_fn,
     )
 
-    enc, enc_params, _ = build_feature_cond_encoder(fce, key if key is not None else jax.random.key(0))
+    enc, enc_params, _ = build_feature_cond_encoder(fce, key)
     u = cfg.get("unet_openai", {})
     idx = fce.get("inject_idx", 1)
     dsf = inject_site_downsample(
@@ -63,6 +72,13 @@ def build_dino_feature_fn(cfg: dict, spatial, key: Optional[jax.Array] = None):
         enc, enc_params, site, layer=fce.get("layer", 11), facet=fce.get("facet", "key")
     )
     return fn, idx, (*site, enc.vit.dim)
+
+
+def feature_cond(feat_fn, feat_idx, cond):
+    """The per-batch dense-feature dict every surface feeds the UNet
+    (None when no extractor is configured) — single definition so the
+    {inject_idx: features} contract cannot drift between surfaces."""
+    return None if feat_fn is None else {feat_idx: feat_fn(cond)}
 
 
 def build_autoencoder(m: dict) -> AutoencoderKL:

@@ -34,6 +34,7 @@ from .common import (
     build_mask_sampler,
     build_slice_dataset,
     build_slice_ldm,
+    feature_cond,
 )
 
 
@@ -58,9 +59,14 @@ def _load_params(model_init, ckpt_dir):
         ):
             ema = ema["unet"]
         try:
-            return flax.serialization.from_state_dict(fresh, ema)
+            restored = flax.serialization.from_state_dict(fresh, ema)
         except (ValueError, KeyError):
-            return flax.serialization.from_state_dict(fresh, convert_legacy_resblock_params(ema))
+            restored = flax.serialization.from_state_dict(
+                fresh, convert_legacy_resblock_params(ema))
+        # orbax raw-restore yields HOST numpy leaves; without this, every
+        # jitted call (e.g. one per streamed slice) re-uploads the full
+        # weight tree host->device
+        return jax.device_put(restored)
     # loud fallback: a typo'd checkpoint path must not silently produce
     # confident random-weight samples (round-2 VERDICT Weak #6)
     where = f"no checkpoint at {ckpt_dir!r}" if ckpt_dir else "no checkpoint configured"
@@ -87,12 +93,10 @@ def main(argv=None):
         # run_eval the same way as run_train, evaluator.py:355-390)
         from .common import build_dino_feature_fn
 
-        # extractor key must match training's seed+11 (train_mask.py) or an
-        # un-calibrated (weights_path-less) extractor produces different
-        # random features at eval than the UNet was trained against
-        feat_fn, feat_idx, feat_shape = build_dino_feature_fn(
-            s1, spatial, jax.random.key(s1.get("seed", 0) + 11)
-        )
+        # extractor key derives canonically (seed + 11) inside the builder —
+        # it must match training or an uncalibrated extractor produces
+        # different random features at eval than the UNet was trained against
+        feat_fn, feat_idx, feat_shape = build_dino_feature_fn(s1, spatial)
         ms_params = _load_params(
             lambda: ms.init_params(
                 jax.random.key(0), spatial, cond_channels=1,
@@ -191,7 +195,7 @@ def main(argv=None):
             if mesh is not None:
                 # shard_batch handles multihost placement too
                 cond = shard_batch(mesh, cond)
-            fc = None if feat_fn is None else {feat_idx: feat_fn(cond)}
+            fc = feature_cond(feat_fn, feat_idx, cond)
             draws = []
             for r in range(n_rep):
                 labels = ms.sample_labels(
@@ -252,7 +256,7 @@ def main(argv=None):
             cond = jnp.zeros((bs, *spatial, 1))
             if mesh is not None:
                 cond = shard_batch(mesh, cond)
-            fc = None if feat_fn is None else {feat_idx: feat_fn(cond)}
+            fc = feature_cond(feat_fn, feat_idx, cond)
             ct, labels = pipe(
                 ms_params, ldm_params, sub,
                 mask_shape=(bs, *spatial), volume_shape=vshape, ddim=ddim,
@@ -283,8 +287,15 @@ def main(argv=None):
             item = ds[i % len(ds)]
             if latent is not None:
                 mask = jnp.asarray(item["wholemask"])[None]
+                if cfg.get("tile") or s2.get("tile"):
+                    # the latent path tiles at encode/decode (encode_tiled /
+                    # decode_tiled) — apply_model tiling is a pixel-path knob
+                    print("WARNING: `tile:` is ignored on the latent ct path "
+                          "(latents are already small; first-stage tiling is built in)")
                 vol = latent.sample_volume(
-                    ldm_params, ae_params, sub, mask, ddim, cond_ae_params=cond_ae_params
+                    ldm_params, ae_params, sub, mask, ddim, cond_ae_params=cond_ae_params,
+                    guidance_scale=float(cfg.get("guidance_scale",
+                                                 s2.get("guidance_scale", 1.0))),
                 )
                 vol = np.asarray(vol[0, ..., 0])
             elif cfg.get("sampler", "ddim") == "plms" and "cond" in item:

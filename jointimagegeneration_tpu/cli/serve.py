@@ -38,7 +38,7 @@ import numpy as np
 from ..core.config import load_yaml_config
 from ..diffusion.ddim import DDIMParams
 from ..pipeline import TwoStagePipeline
-from .common import build_mask_sampler, build_slice_ldm
+from .common import build_mask_sampler, build_slice_ldm, feature_cond
 from .sample import _load_params
 
 
@@ -49,6 +49,21 @@ def _nifti_b64(vol: np.ndarray) -> str:
         write_nifti(f.name, vol)
         f.seek(0)
         return base64.b64encode(Path(f.name).read_bytes()).decode()
+
+
+def _batched_mesh(state: dict, bs: int):
+    """Mesh + replicated param trees for a batched request, cached per
+    batch size in `state` — params never change between requests, so the
+    full-weight host->device broadcast happens once, not per request."""
+    cache = state.setdefault("_mesh_cache", {})
+    ent = cache.get(bs)
+    if ent is None:
+        from ..parallel.mesh import make_mesh_for_batch, replicate
+
+        mesh = make_mesh_for_batch(bs)
+        ent = cache[bs] = (
+            mesh, replicate(mesh, (state["ms_params"], state.get("ldm_params"))))
+    return ent
 
 
 def make_handler(state: dict):
@@ -73,9 +88,7 @@ def make_handler(state: dict):
             from ..pipeline.two_stage import normalize_mask_channel, upsample_labels
 
             k1, k2 = jax.random.split(key)
-            fc = None
-            if state.get("feat_fn") is not None:
-                fc = {state["feat_idx"]: state["feat_fn"](cond)}
+            fc = feature_cond(state.get("feat_fn"), state.get("feat_idx"), cond)
             labels = state["ms"].sample_labels(
                 msp, k1, (bs, *state["spatial"]), cond=cond, feature_cond=fc,
                 num_steps=mask_steps)
@@ -134,14 +147,11 @@ def make_handler(state: dict):
                     bs = max(1, int(req.get("batch", 1)))
                     cond = jnp.zeros((bs, *spatial, 1))
                     if bs > 1 and len(jax.devices()) > 1:
-                        from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+                        from ..parallel.mesh import shard_batch
 
-                        mesh = make_mesh_for_batch(bs)
-                        msp = replicate(mesh, msp)
+                        mesh, (msp, _) = _batched_mesh(state, bs)
                         cond = shard_batch(mesh, cond)
-                    fc = None
-                    if state.get("feat_fn") is not None:
-                        fc = {state["feat_idx"]: state["feat_fn"](cond)}
+                    fc = feature_cond(state.get("feat_fn"), state.get("feat_idx"), cond)
                     batch_labels = np.asarray(
                         ms.sample_labels(
                             msp, key, (bs, *spatial), cond=cond, feature_cond=fc,
@@ -168,10 +178,9 @@ def make_handler(state: dict):
                     bs = max(1, int(req.get("batch", 1)))
                     cond = jnp.zeros((bs, *state["spatial"], 1))
                     if bs > 1 and len(jax.devices()) > 1:
-                        from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+                        from ..parallel.mesh import shard_batch
 
-                        mesh = make_mesh_for_batch(bs)
-                        msp, lp = replicate(mesh, (msp, lp))
+                        mesh, (msp, lp) = _batched_mesh(state, bs)
                         cond = shard_batch(mesh, cond)
                     steps = int(req.get("mask_steps", state["mask_steps"]))
                     gs = float(req.get("guidance_scale", 1.0))
@@ -179,9 +188,7 @@ def make_handler(state: dict):
                         self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0,
                                                guidance_scale=gs)
                         return
-                    fc = None
-                    if state.get("feat_fn") is not None:
-                        fc = {state["feat_idx"]: state["feat_fn"](cond)}
+                    fc = feature_cond(state.get("feat_fn"), state.get("feat_idx"), cond)
                     ct, labels = pipe(
                         msp, lp, key,
                         mask_shape=(bs, *state["spatial"]), volume_shape=state["volume_shape"],
@@ -220,9 +227,7 @@ def main(argv=None):
     # sampling: extractor key = stage-1 seed + 11, cli/train_mask.py)
     from .common import build_dino_feature_fn
 
-    feat_fn, feat_idx, feat_shape = build_dino_feature_fn(
-        s1, spatial, jax.random.key(s1.get("seed", 0) + 11)
-    )
+    feat_fn, feat_idx, feat_shape = build_dino_feature_fn(s1, spatial)
     ms_params = _load_params(
         lambda: ms.init_params(
             jax.random.key(0), spatial, cond_channels=1,

@@ -63,9 +63,7 @@ def main(argv=None):
     # {type: dino, inject_idx: N}) — extractor frozen, features computed
     # inside the jitted step per batch (reference: per train step,
     # trainer.py:287)
-    feat_fn, feat_idx, feat_shape = build_dino_feature_fn(
-        cfg, spatial, jax.random.key(cfg.get("seed", 0) + 11)
-    )
+    feat_fn, feat_idx, feat_shape = build_dino_feature_fn(cfg, spatial)
     params = model.init_params(
         jax.random.key(cfg.get("seed", 0)), spatial, cond_channels=1, context_shape=ctx_shape,
         feature_cond_shapes=None if feat_idx is None else {feat_idx: feat_shape},

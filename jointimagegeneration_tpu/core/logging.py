@@ -151,8 +151,15 @@ def summarize_trace(logdir, top_k: int = 20, group: str = "name"):
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in device_pids and "dur" in e:
             args = e.get("args", {})
-            if group != "name" and args.get("hlo_category", "?") in ("?", "while", "conditional", "call"):
-                continue  # control-flow envelopes wrap the whole capture and double-count time
+            cat = args.get("hlo_category", "?")
+            # control-flow/module envelopes wrap the whole capture; keeping
+            # them (in any grouping) double-counts every total/share.
+            # Uncategorised events are kept (copy-done etc.) unless they are
+            # the jit module envelope itself.
+            if cat in ("while", "conditional", "call"):
+                continue
+            if cat == "?" and (group != "name" or str(e.get("name", "")).startswith("jit")):
+                continue
             if group == "category":
                 key = args.get("hlo_category", "?")
             elif group == "tf_op":

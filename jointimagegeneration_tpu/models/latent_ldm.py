@@ -168,23 +168,30 @@ class LatentSliceLDM:
         the cond stage, the DDIM chain runs in latent space, the slice is
         decoded by the first stage and min-max normalised
         (sample_diffusion.py:221-222) before becoming the next condition.
-        Whole volume = one lax.scan program."""
+        Whole volume = one lax.scan program; a CFG scale rides the carry
+        as a traced input (one program for all scale values)."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
         if cond_ae_params is None:
             cond_ae_params = ae_params
+        use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
+        gs = jnp.asarray(guidance_scale, jnp.float32) if use_cfg else None
 
         def body(carry, mask_slice):
-            prev, k = carry
+            if use_cfg:
+                prev, k, gs_c = carry
+            else:
+                (prev, k), gs_c = carry, 1.0
             k, sub = jax.random.split(k)
             s = self._volume_slice_step(params, ae_params, cond_ae_params,
                                         prev, mask_slice, sub, ddim, context=context,
-                                        guidance_scale=guidance_scale)
-            return (s, k), s
+                                        guidance_scale=gs_c)
+            return ((s, k, gs_c) if use_cfg else (s, k)), s
 
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)
-        (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
+        init = (init_slice, key, gs) if use_cfg else (init_slice, key)
+        _, slices = jax.lax.scan(body, init, mask_zfirst)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
 
     def _volume_slice_step(self, params, ae_params, cond_ae_params,
@@ -193,11 +200,24 @@ class LatentSliceLDM:
         """One latent-path z-step (cond-stage encode → latent DDIM chain →
         first-stage decode → per-slice min-max normalisation,
         sample_diffusion.py:221-222) — shared by sample_volume's scan body
-        and stream_volume."""
+        and stream_volume.
+
+        With CFG on, the unconditional branch uses the ENCODING of the
+        zeroed pixel condition (what "no condition" means in pixel space),
+        not the zero latent — cond-stage encoders do not map zero images
+        to zero latents, so the zero latent would be an off-manifold
+        uncond input."""
         cond_pix = jnp.concatenate([prev, mask_slice], axis=-1)
         cond_z = self.encode_cond(cond_ae_params, cond_pix)
+        use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
+        uncond_z = None
+        if use_cfg:
+            # loop-invariant: XLA hoists this single encode out of the
+            # inner DDIM scan
+            uncond_z = self.encode_cond(cond_ae_params, jnp.zeros_like(cond_pix))
         z = self.inner.sample_slice(params, k, cond_z, ddim, context=context,
-                                    guidance_scale=guidance_scale)
+                                    guidance_scale=guidance_scale,
+                                    uncond_cond=uncond_z)
         s = self.decode(ae_params, z)
         lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
         hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
@@ -218,26 +238,30 @@ class LatentSliceLDM:
         """Generator over z yielding each decoded (B, H, W, C) slice —
         latent-path twin of SliceLDM.stream_volume (shared
         _volume_slice_step; the jitted per-slice program is cached on the
-        instance so repeated streaming requests do not retrace)."""
+        instance, keyed by CFG ON/OFF only — the scale itself is a traced
+        argument, so varying it never retraces)."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
         if cond_ae_params is None:
             cond_ae_params = ae_params
+        use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
 
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
-        one_slice = cache.get(("latent", guidance_scale))
+        one_slice = cache.get(("latent", use_cfg))
         if one_slice is None:
-            def one_slice(params, ae_params, cond_ae_params, prev, mask_slice, k, ddim, context):
+            def one_slice(params, ae_params, cond_ae_params, prev, mask_slice, k, ddim,
+                          context, gs):
                 return self._volume_slice_step(params, ae_params, cond_ae_params,
                                                prev, mask_slice, k, ddim, context=context,
-                                               guidance_scale=guidance_scale)
+                                               guidance_scale=gs if use_cfg else 1.0)
 
-            one_slice = cache[("latent", guidance_scale)] = jax.jit(one_slice)
+            one_slice = cache[("latent", use_cfg)] = jax.jit(one_slice)
 
+        gs = jnp.asarray(guidance_scale, jnp.float32)
         prev = init_slice
         for z in range(d):
             key, sub = jax.random.split(key)
             prev = one_slice(params, ae_params, cond_ae_params, prev,
-                             mask_volume[:, z], sub, ddim, context)
+                             mask_volume[:, z], sub, ddim, context, gs)
             yield prev

@@ -133,6 +133,7 @@ class SliceLDM:
         inpaint_x0: Optional[jnp.ndarray] = None,
         return_intermediates: bool = False,
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,  # (patch, stride)
+        uncond_cond: Optional[jnp.ndarray] = None,
     ):
         """DDIM chain for one slice, scan-compiled.
 
@@ -140,8 +141,13 @@ class SliceLDM:
         (ddim.py:172-179): e = e_uncond + s*(e_cond - e_uncond), run as two
         sequential b=B UNet calls — measured FASTER on v5e than the
         reference's concat-then-chunk b=2B batching at the hot shapes
-        (BENCH_NOTES round-3 "CFG batching").  `guidance_fn(x, t) -> grad`
-        adds classifier guidance (models/classifier.py).
+        (BENCH_NOTES round-3 "CFG batching").  The scale rides the scan
+        CARRY as a traced input, so sweeping it (e.g. per serve request)
+        reuses ONE compiled program; only on/off (== 1.0 as a Python
+        number) is static.  `uncond_cond` overrides the zeroed-`cond`
+        unconditional branch (the latent path passes the ENCODING of
+        zeroed pixels, which is not the zero latent).  `guidance_fn(x, t)
+        -> grad` adds classifier guidance (models/classifier.py).
 
         `tile=((ph, pw), (sh, sw))` runs the UNet itself patch-tiled with
         border-weighted stitching every diffusion step — the reference's
@@ -152,7 +158,8 @@ class SliceLDM:
         if x_T is None:
             key, sub = jax.random.split(key)
             x_T = jax.random.normal(sub, (b, h, w, self.channels))
-        use_cfg = guidance_scale != 1.0
+        use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
+        gs = jnp.asarray(guidance_scale, jnp.float32) if use_cfg else None
 
         def model_fn(x, t_b, c, ctx):
             if tile is None:
@@ -169,7 +176,10 @@ class SliceLDM:
             return tiled_apply(fn, joint, tile[0], tile[1], out_channels=self.channels)
 
         def body(carry, index):
-            x, k = carry
+            if use_cfg:
+                x, k, gs_c = carry
+            else:
+                (x, k), gs_c = carry, None
             k, sub, sub2 = jax.random.split(k, 3)
             t_b = jnp.full((b,), ddim.timesteps[index], jnp.int32)
             if inpaint_mask is not None and inpaint_x0 is not None:
@@ -188,15 +198,18 @@ class SliceLDM:
                 # XLA's large-spatial conv schedules degrade with batch), so
                 # concat-then-chunk batching LOSES 1.69x here: 188 vs
                 # 111 ms/step (BENCH_NOTES round-3 "CFG batching" entry).
-                e_uncond = model_fn(x, t_b, jnp.zeros_like(cond), uncond_context)
-                e_t = e_uncond + guidance_scale * (e_t - e_uncond)
+                null_cond = jnp.zeros_like(cond) if uncond_cond is None else uncond_cond
+                e_uncond = model_fn(x, t_b, null_cond, uncond_context)
+                e_t = e_uncond + gs_c.astype(e_t.dtype) * (e_t - e_uncond)
             if guidance_fn is not None:
                 e_t = e_t - jnp.sqrt(1.0 - ddim.alphas[index]) * guidance_fn(x, t_b)
             x, pred_x0 = ddim_step(ddim, sub, x, e_t.astype(x.dtype), index, temperature)
-            return (x, k), (pred_x0 if return_intermediates else None)
+            next_carry = (x, k, gs_c) if use_cfg else (x, k)
+            return next_carry, (pred_x0 if return_intermediates else None)
 
         indices = jnp.arange(ddim.num_steps - 1, -1, -1)
-        (x, _), inter = jax.lax.scan(body, (x_T, key), indices)
+        init = (x_T, key, gs) if use_cfg else (x_T, key)
+        (x, *_), inter = jax.lax.scan(body, init, indices)
         if return_intermediates:
             return x, inter  # inter: (S, B, H, W, C) pred_x0 trajectory
         return x
@@ -234,7 +247,7 @@ class SliceLDM:
         x = batch["image"][:n_row]
         cond = batch.get("cond")
         cond = cond[:n_row] if cond is not None else jnp.zeros(x.shape[:-1] + (self.cond_channels,))
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         samples, inter = self.sample_slice(params, k1, cond, ddim, return_intermediates=True)
         every = max(1, inter.shape[0] // 6)
         denoise_row = inter[::every]  # (R, B, H, W, C)
@@ -250,7 +263,7 @@ class SliceLDM:
             lambda t, k: self.diffusion.q_sample(
                 x, jnp.full((x.shape[0],), t, jnp.int32),
                 jax.random.normal(k, x.shape, x.dtype))
-        )(ts, jax.random.split(k1, ts.shape[0]))  # (R, B, H, W, C)
+        )(ts, jax.random.split(k4, ts.shape[0]))  # (R, B, H, W, C)
         return {
             "inputs": np.asarray(x),
             "samples": np.asarray(samples),
@@ -279,21 +292,28 @@ class SliceLDM:
 
         The first slice is conditioned on `init_slice` (zeros by default,
         mirroring sample_cond's zero-initialised volume buffer,
-        sample_diffusion.py:196-210)."""
+        sample_diffusion.py:196-210).  A CFG scale rides the scan carry as
+        a traced input — one compiled program for all scale values."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
+        use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
+        gs = jnp.asarray(guidance_scale, jnp.float32) if use_cfg else None
 
         def body(carry, mask_slice):
-            prev, k = carry
+            if use_cfg:
+                prev, k, gs_c = carry
+            else:
+                (prev, k), gs_c = carry, 1.0
             k, sub = jax.random.split(k)
             s = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
                                         context=context, y=y, tile=tile,
-                                        guidance_scale=guidance_scale)
-            return (s, k), s
+                                        guidance_scale=gs_c)
+            return ((s, k, gs_c) if use_cfg else (s, k)), s
 
         mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)  # (D, B, H, W, 1)
-        (_, _), slices = jax.lax.scan(body, (init_slice, key), mask_zfirst)
+        init = (init_slice, key, gs) if use_cfg else (init_slice, key)
+        _, slices = jax.lax.scan(body, init, mask_zfirst)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
 
     def _volume_slice_step(self, params, prev, mask_slice, k, ddim,
@@ -326,24 +346,28 @@ class SliceLDM:
         but consumers see slices incrementally — the serving analog of the
         reference's per-slice debug dump inside sample_cond
         (sample_diffusion.py:223).  The jitted per-slice program is cached
-        on the instance so repeated streaming requests do not retrace."""
+        on the instance (keyed by tile and CFG ON/OFF only — the scale
+        itself is a traced argument) so repeated streaming requests, even
+        with varying guidance scales, never retrace."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
+        use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
 
         # frozen dataclass: mutate __dict__ directly for the jit cache
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
-        one_slice = cache.get((tile, guidance_scale))
+        one_slice = cache.get((tile, use_cfg))
         if one_slice is None:
-            def one_slice(params, prev, mask_slice, k, ddim, context, y):
+            def one_slice(params, prev, mask_slice, k, ddim, context, y, gs):
                 return self._volume_slice_step(params, prev, mask_slice, k, ddim,
                                                context=context, y=y, tile=tile,
-                                               guidance_scale=guidance_scale)
+                                               guidance_scale=gs if use_cfg else 1.0)
 
-            one_slice = cache[(tile, guidance_scale)] = jax.jit(one_slice)
+            one_slice = cache[(tile, use_cfg)] = jax.jit(one_slice)
 
+        gs = jnp.asarray(guidance_scale, jnp.float32)
         prev = init_slice
         for z in range(d):
             key, sub = jax.random.split(key)
-            prev = one_slice(params, prev, mask_volume[:, z], sub, ddim, context, y)
+            prev = one_slice(params, prev, mask_volume[:, z], sub, ddim, context, y, gs)
             yield prev

@@ -148,7 +148,9 @@ def convert_guided_diffusion_unet(
     r = _Reader(sd, prefix)
 
     def heads_for(ch: int) -> int:
-        return num_heads if num_head_channels == -1 else ch // num_head_channels
+        # max(1, …) clamp matches nn/blocks.py AttentionBlock (a site
+        # narrower than num_head_channels runs single-headed)
+        return num_heads if num_head_channels == -1 else max(1, ch // num_head_channels)
 
     out: dict = {
         "time_embed_0": {"kernel": r("time_embed.0.weight").T, "bias": r("time_embed.0.bias")},

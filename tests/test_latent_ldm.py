@@ -107,6 +107,43 @@ def test_cfg_changes_output():
     assert np.abs(np.asarray(va) - np.asarray(vb)).max() > 0
 
 
+def test_cfg_scale_does_not_retrace():
+    """The CFG scale rides the scan carry as a TRACED input: sweeping it
+    (the serve request pattern) must reuse ONE compiled program — a
+    client-controlled float baked as a constant would recompile the whole
+    slice program per value (round-3 review finding)."""
+    ldm = SliceLDM.create(timesteps=20, model_channels=8, channel_mult=(1, 2),
+                          attention_resolutions=(), num_res_blocks=1, num_head_channels=4)
+    params = ldm.init_params(jax.random.key(0), 16)
+    # un-zero the output head so the CFG direction is nonzero
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: jax.random.normal(jax.random.key(9), p.shape) * 0.05
+        if any(getattr(k, "key", None) == "out_conv" for k in path) else p,
+        params,
+    )
+    ddim = DDIMParams.create(ldm.diffusion, 2)
+    cond = jnp.ones((1, 16, 16, 2))
+
+    traces = 0
+    def f(params, key, cond, gs):
+        nonlocal traces
+        traces += 1
+        return ldm.sample_slice(params, key, cond, ddim, guidance_scale=gs)
+
+    jf = jax.jit(f)
+    outs = [jf(params, jax.random.key(1), cond, gs) for gs in (1.5, 2.0, 3.0)]
+    assert traces == 1, f"guidance sweep retraced {traces}x"
+    assert np.abs(np.asarray(outs[0]) - np.asarray(outs[2])).max() > 0
+
+    # stream_volume caches ONE jitted program per (tile, cfg-on) pair
+    mask = jnp.ones((1, 2, 16, 16, 1))
+    for gs in (2.0, 3.0, 4.5):
+        for _ in ldm.stream_volume(params, jax.random.key(2), mask, ddim,
+                                   guidance_scale=gs):
+            pass
+    assert set(ldm._stream_jit_cache) == {(None, True)}
+
+
 def test_plms_slice_sampler():
     ldm = SliceLDM.create(timesteps=50, model_channels=8, channel_mult=(1, 2),
                           attention_resolutions=(), num_res_blocks=1, num_head_channels=4)
