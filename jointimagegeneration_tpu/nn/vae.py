@@ -65,7 +65,12 @@ class Encoder(nn.Module):
                 if res in self.attn_resolutions:
                     h = AttentionBlock(num_heads=1, name=f"down_{level}_{i}_attn")(h)
             if level != len(self.ch_mult) - 1:
-                h = _conv(h.shape[-1], 3, self.dims, strides=2, name=f"down_{level}_ds")(h)
+                # asymmetric (0,1) pad + VALID, matching the reference's
+                # Downsample (model.py:61-73) so its trained weights
+                # transfer tap-exactly (symmetric SAME shifts taps by one)
+                h = jnp.pad(h, [(0, 0)] + [(0, 1)] * self.dims + [(0, 0)])
+                h = _conv(h.shape[-1], 3, self.dims, strides=2, padding=0,
+                          name=f"down_{level}_ds")(h)
                 res //= 2
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_1")(h, deterministic=deterministic)
         h = AttentionBlock(num_heads=1, name="mid_attn")(h)

@@ -33,7 +33,8 @@ from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["convert_guided_diffusion_unet", "find_unet_prefix"]
+__all__ = ["convert_guided_diffusion_unet", "convert_ldm_autoencoder",
+           "find_unet_prefix"]
 
 
 def _np(t) -> np.ndarray:
@@ -210,4 +211,112 @@ def convert_guided_diffusion_unet(
             f"checkpoints are out of converter scope): {leftover[:8]}"
             + (f" ... +{len(leftover) - 8} more" if len(leftover) > 8 else "")
         )
+    return out
+
+
+def _vae_res(r: _Reader, at: str) -> dict:
+    p = {
+        "norm1": {"GroupNorm_0": {"scale": r(f"{at}.norm1.weight"),
+                                  "bias": r(f"{at}.norm1.bias")}},
+        "conv1": {"kernel": _conv_kernel(r(f"{at}.conv1.weight")),
+                  "bias": r(f"{at}.conv1.bias")},
+        "norm2": {"GroupNorm_0": {"scale": r(f"{at}.norm2.weight"),
+                                  "bias": r(f"{at}.norm2.bias")}},
+        "conv2": {"kernel": _conv_kernel(r(f"{at}.conv2.weight")),
+                  "bias": r(f"{at}.conv2.bias")},
+    }
+    if r.has(f"{at}.nin_shortcut.weight"):
+        p["nin_shortcut"] = {"kernel": _conv_kernel(r(f"{at}.nin_shortcut.weight")),
+                             "bias": r(f"{at}.nin_shortcut.bias")}
+    if r.has(f"{at}.conv_shortcut.weight"):
+        raise ValueError(f"{at}: conv_shortcut (3x3) checkpoints are out of scope "
+                         "(this VAE uses the default 1x1 nin_shortcut)")
+    return p
+
+
+def _vae_attn(r: _Reader, at: str) -> dict:
+    """Reference AttnBlock (model.py:154-207: separate 1x1 q/k/v convs,
+    single head) -> fused-qkv AttentionBlock params."""
+    wq, wk, wv = (r(f"{at}.{n}.weight").reshape(
+        r(f"{at}.{n}.weight").shape[:2]) for n in ("q", "k", "v"))
+    bq, bk, bv = (r(f"{at}.{n}.bias") for n in ("q", "k", "v"))
+    return {
+        "norm": {"GroupNorm_0": {"scale": r(f"{at}.norm.weight"),
+                                 "bias": r(f"{at}.norm.bias")}},
+        "qkv": {"kernel": np.concatenate([wq.T, wk.T, wv.T], axis=1),
+                "bias": np.concatenate([bq, bk, bv])},
+        "proj_out": {"kernel": r(f"{at}.proj_out.weight").reshape(
+            r(f"{at}.proj_out.weight").shape[:2]).T,
+            "bias": r(f"{at}.proj_out.bias")},
+    }
+
+
+def _vae_trunk(r: _Reader, side: str) -> dict:
+    """One Encoder/Decoder trunk.  Unlike the UNet, the reference's VAE
+    key names carry explicit level/block indices (down.L.block.I /
+    up.L.block.I, model.py:368-520), so the walk is key-driven."""
+    import re as _re
+
+    out = {
+        "conv_in": {"kernel": _conv_kernel(r(f"{side}.conv_in.weight")),
+                    "bias": r(f"{side}.conv_in.bias")},
+        "mid_1": _vae_res(r, f"{side}.mid.block_1"),
+        "mid_attn": _vae_attn(r, f"{side}.mid.attn_1"),
+        "mid_2": _vae_res(r, f"{side}.mid.block_2"),
+        "norm_out": {"GroupNorm_0": {"scale": r(f"{side}.norm_out.weight"),
+                                     "bias": r(f"{side}.norm_out.bias")}},
+        "conv_out": {"kernel": _conv_kernel(r(f"{side}.conv_out.weight")),
+                     "bias": r(f"{side}.conv_out.bias")},
+    }
+    stage = "down" if side == "encoder" else "up"
+    pat = _re.compile(_re.escape(f"{side}.{stage}.") + r"(\d+)\.(block|attn)\.(\d+)\.norm1?\.weight$")
+    for k in list(r.sd):
+        m = pat.search(k)
+        if not m:
+            continue
+        level, kind, i = int(m.group(1)), m.group(2), int(m.group(3))
+        if kind == "block":
+            out[f"{stage}_{level}_{i}"] = _vae_res(r, f"{side}.{stage}.{level}.block.{i}")
+        else:
+            out[f"{stage}_{level}_{i}_attn"] = _vae_attn(r, f"{side}.{stage}.{level}.attn.{i}")
+    for k in list(r.sd):
+        m = _re.search(_re.escape(f"{side}.{stage}.") + r"(\d+)\.(downsample|upsample)\.conv\.weight$", k)
+        if m:
+            level = int(m.group(1))
+            at = f"{side}.{stage}.{level}.{m.group(2)}"
+            out[f"{stage}_{level}_ds" if stage == "down" else f"{stage}_{level}_us"] = {
+                "kernel": _conv_kernel(r(f"{at}.conv.weight")),
+                "bias": r(f"{at}.conv.bias")}
+    return out
+
+
+def convert_ldm_autoencoder(sd: Dict[str, "np.ndarray"], prefix: Optional[str] = None,
+                            strict: bool = True) -> dict:
+    """Reference AutoencoderKL/VQModel state_dict (autoencoder.py:18-482 +
+    model.py Encoder/Decoder) -> `models/autoencoder.py` param tree
+    ({'encoder', 'decoder', 'quant_conv', 'post_quant_conv'}).
+
+    With an LDM LatentDiffusion checkpoint, pass
+    prefix='first_stage_model.' (or 'cond_stage_model.'); a standalone AE
+    training checkpoint auto-detects.  `loss.*` keys (LPIPS +
+    discriminators) are skipped — inference needs none of them."""
+    if prefix is None:
+        marker = "encoder.conv_in.weight"
+        cands = [k[: -len(marker)] for k in sd if k.endswith(marker)]
+        if not cands:
+            raise KeyError(f"no AutoencoderKL found (no key ends with {marker!r})")
+        prefix = sorted(cands, key=len)[0]
+    r = _Reader(sd, prefix)
+    out = {
+        "encoder": _vae_trunk(r, "encoder"),
+        "decoder": _vae_trunk(r, "decoder"),
+        "quant_conv": {"kernel": _conv_kernel(r("quant_conv.weight")),
+                       "bias": r("quant_conv.bias")},
+        "post_quant_conv": {"kernel": _conv_kernel(r("post_quant_conv.weight")),
+                            "bias": r("post_quant_conv.bias")},
+    }
+    leftover = [k for k in r.unconsumed() if ".loss." not in k and not k.startswith(f"{prefix}loss.")]
+    if leftover and strict:
+        raise ValueError(f"unconsumed AE keys: {leftover[:8]}"
+                         + (f" ... +{len(leftover) - 8} more" if len(leftover) > 8 else ""))
     return out
