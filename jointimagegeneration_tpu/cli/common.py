@@ -24,8 +24,55 @@ from ..train import EMATrainState, build_optimizer
 __all__ = [
     "build_mask_sampler", "build_slice_ldm", "build_mask_dataset",
     "build_slice_dataset", "build_autoencoder", "build_dino_feature_fn",
-    "feature_cond",
+    "feature_cond", "load_ae_params",
 ]
+
+
+def load_ae_params(module: AutoencoderKL, section: Optional[dict], size: int,
+                   key_seed: int = 3):
+    """Frozen-AE params for the latent (`_ae`) path, shared by every
+    surface (sample, serve, train_ldm).
+
+    Accepts either checkpoint layout at `section['checkpoint']`:
+      * a `cli.train_ae` run (GANTrainState: the generator lives under
+        'g_params' next to discriminator/optimizer state), or
+      * a converted reference AutoencoderKL
+        (scripts/convert_reference_checkpoint.py --ae: bare {'params': …}).
+    Restores by NAME onto a fresh template (no discriminator/optimizer
+    template needed — the sampling path must not depend on the training
+    run's optimizer topology), then shape-checks every leaf.  Falls back
+    to fresh-init with a loud warning, mirroring _load_params."""
+    import flax.serialization
+
+    from ..core.checkpoint import CheckpointManager
+
+    def fresh():
+        return module.init(
+            jax.random.key(key_seed),
+            jnp.zeros((1, size, size, module.in_channels)),
+            jax.random.key(key_seed + 1),
+        )
+
+    ck = (section or {}).get("checkpoint")
+    if ck:
+        mgr = CheckpointManager(ck)
+        if mgr.latest_step() is not None:
+            raw = mgr.restore_raw()
+            gp = raw.get("g_params", raw if "params" in raw else None)
+            if gp is not None:
+                template = fresh()
+                restored = flax.serialization.from_state_dict(template, gp)
+                jax.tree.map(
+                    lambda t, r: (_ for _ in ()).throw(ValueError(
+                        f"AE checkpoint leaf shape {r.shape} != model {t.shape} "
+                        f"(wrong ddconfig for {ck}?)")) if t.shape != r.shape else None,
+                    template, restored)
+                return restored
+    print(f"WARNING: no AE checkpoint at {ck!r} — using FRESH-INIT (random) "
+          "first-stage weights" if ck else
+          "WARNING: no AE checkpoint configured — using FRESH-INIT (random) "
+          "first-stage weights")
+    return fresh()
 
 
 def build_dino_feature_fn(cfg: dict, spatial, key: Optional[jax.Array] = None):

@@ -27,7 +27,6 @@ from ..diffusion.ddim import DDIMParams
 from ..eval.metrics import per_class_dice
 from ..eval.writers import image_volume_to_grid, labels_to_grid, save_grid_png, save_image_volume, save_label_volume
 from ..pipeline import TwoStagePipeline
-from ..train import EMATrainState, build_optimizer
 from .common import (
     build_autoencoder,
     build_mask_dataset,
@@ -35,6 +34,7 @@ from .common import (
     build_slice_dataset,
     build_slice_ldm,
     feature_cond,
+    load_ae_params,
 )
 
 
@@ -115,30 +115,13 @@ def main(argv=None):
         fs_cfg = s2.get("first_stage")
         if fs_cfg:
             from ..models.latent_ldm import LatentSliceLDM
-            from ..train.gan import GANTrainState
 
             ae = build_autoencoder(fs_cfg)
             cond_ae = build_autoencoder(s2["cond_stage"]) if s2.get("cond_stage") else None
-
-            def _load_ae(module, section, k):
-                fresh = lambda: module.init(
-                    jax.random.key(k),
-                    jnp.zeros((1, size, size, module.in_channels)),
-                    jax.random.key(k + 1),
-                )
-                ck = (section or {}).get("checkpoint")
-                if ck and CheckpointManager(ck).latest_step() is not None:
-                    tx = build_optimizer("Adam", 1e-4)
-                    from ..nn.discriminators import PatchDiscriminator
-
-                    disc = PatchDiscriminator(dims=2)
-                    d0 = disc.init(jax.random.key(9), jnp.zeros((1, size, size, module.in_channels)))
-                    template = GANTrainState.create(fresh(), d0, tx, tx)
-                    return CheckpointManager(ck).restore(template).g_params
-                return fresh()
-
-            ae_params = _load_ae(ae, fs_cfg, 3)
-            cond_ae_params = _load_ae(cond_ae, s2.get("cond_stage"), 5) if cond_ae else ae_params
+            ae_params = load_ae_params(ae, fs_cfg, size, 3)
+            cond_ae_params = (
+                load_ae_params(cond_ae, s2.get("cond_stage"), size, 5) if cond_ae else ae_params
+            )
             latent = LatentSliceLDM(
                 inner=ldm, first_stage=ae, cond_stage=cond_ae,
                 scale_factor=fs_cfg.get("scale_factor", 1.0),

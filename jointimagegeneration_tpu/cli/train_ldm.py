@@ -19,9 +19,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core.config import load_yaml_config
 from ..data.loader import DataLoader
 from ..parallel.mesh import make_mesh_for_batch, replicate
-from ..train import EMATrainState, build_optimizer, make_ldm_train_step
+from ..train import (
+    EMATrainState,
+    build_optimizer,
+    make_latent_ldm_train_step,
+    make_ldm_train_step,
+)
 from ..train.trainer import Trainer, TrainerConfig
-from .common import build_slice_dataset, build_slice_ldm
+from .common import build_autoencoder, build_slice_dataset, build_slice_ldm, load_ae_params
 
 
 def main(argv=None):
@@ -37,6 +42,36 @@ def main(argv=None):
     model = build_slice_ldm(model_cfg)
     train_ds = build_slice_dataset(cfg, "train")
     size = tuple(cfg.get("dataset", {}).get("slice_shape", (512, 512)))[0]
+
+    # latent (`_ae`) training: a first_stage section routes the batch
+    # through frozen AEs inside the train step and the UNet trains at
+    # latent size (the reference's ruijin-ldm_from_controlnet_ae.yaml +
+    # ddpm.py:662-741 get_input path)
+    latent = None
+    fs_cfg = model_cfg.get("first_stage")
+    if fs_cfg:
+        from ..models.latent_ldm import LatentSliceLDM
+
+        ae = build_autoencoder(fs_cfg)
+        cond_ae = build_autoencoder(model_cfg["cond_stage"]) if model_cfg.get("cond_stage") else None
+        ae_params = load_ae_params(ae, fs_cfg, size, 3)
+        cond_ae_params = (
+            load_ae_params(cond_ae, model_cfg.get("cond_stage"), size, 5) if cond_ae else ae_params
+        )
+        latent = LatentSliceLDM(
+            inner=model, first_stage=ae, cond_stage=cond_ae,
+            scale_factor=fs_cfg.get("scale_factor", 1.0),
+        )
+        if model_cfg.get("scale_by_std", False):
+            # calibrate once from the first training batch
+            # (ddpm.py:484-499 on_train_batch_start)
+            calib = jnp.stack([
+                jnp.asarray(train_ds[i]["image"])
+                for i in range(min(len(train_ds), cfg.get("batch_size", 1)))
+            ])
+            latent = latent.calibrate_scale_factor(ae_params, calib)
+            print(f"scale_by_std: calibrated scale_factor={latent.scale_factor:.4f}")
+        size = size // ae.downsample_factor  # UNet trains at latent size
 
     batch_size = cfg.get("batch_size", 1)
     accumulate = cfg.get("accumulate_grad_batches", 1)
@@ -65,12 +100,15 @@ def main(argv=None):
     # LitEma warmup decay semantics (ldm/modules/ema.py:33-35)
     state = EMATrainState.create(params, tx, ema_decay=0.9999, ema_warmup=True,
                                  skip_nonfinite=True)
-    step_fn = make_ldm_train_step(
-        model,
+    step_kw = dict(
         loss_type=model_cfg.get("loss_type", "l2"),
         l_simple_weight=model_cfg.get("l_simple_weight", 1.0),
         elbo_weight=model_cfg.get("original_elbo_weight", 0.0),
     )
+    if latent is not None:
+        step_fn = make_latent_ldm_train_step(latent, ae_params, cond_ae_params, **step_kw)
+    else:
+        step_fn = make_ldm_train_step(model, **step_kw)
 
     # ImageLogger parity (main.py:419-449): periodic qualitative panels
     # from SliceLDM.log_images (samples / denoise row / inpaint / outpaint) + val loss
@@ -93,6 +131,32 @@ def main(argv=None):
             for k in items[0]
             if not isinstance(items[0][k], str) and k in ("image", "cond")
         }
+        if latent is not None:
+            # latent path: panels in pixel space (decode), loss in latent
+            # space — the monitored quantity the reference trains on
+            z, cond_z = latent.train_loss_inputs(
+                ae_params, None, batch["image"], batch.get("cond"),
+                cond_ae_params=cond_ae_params)
+            recon = latent.decode(ae_params, z)
+            samples = latent.sample_slice(
+                state.ema_params, ae_params, jax.random.key(step),
+                batch.get("cond", jnp.zeros(
+                    batch["image"].shape[:-1] + ((cond_ae or ae).in_channels,))),
+                log_ddim, cond_ae_params=cond_ae_params)
+            if logger:
+                from ..eval.writers import image_volume_to_grid
+
+                for name, img in (("inputs", batch["image"]),
+                                  ("reconstruction", recon), ("samples", samples)):
+                    logger.image(step, f"val/{name}", image_volume_to_grid(img[..., 0]))
+            diff = model.diffusion
+            t = jnp.full((z.shape[0],), diff.num_timesteps // 2, jnp.int32)
+            noise = jax.random.normal(jax.random.key(step + 1), z.shape)
+            eps = model.apply_model(state.ema_params, diff.q_sample(z, t, noise), t, cond=cond_z)
+            val_loss = float(jnp.mean((eps - noise) ** 2))
+            if logger:
+                logger.scalars(step, {"loss_simple": val_loss}, prefix="val/")
+            return -val_loss
         panels = model.log_images(state.ema_params, jax.random.key(step), batch, log_ddim)
         if logger:
             from ..eval.writers import image_volume_to_grid

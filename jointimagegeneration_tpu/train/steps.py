@@ -23,7 +23,7 @@ from ..models.slice_ldm import SliceLDM
 from .losses import categorical_diffusion_loss, gaussian_diffusion_loss, sample_train_timesteps
 from .state import EMATrainState
 
-__all__ = ["make_mask_train_step", "make_ldm_train_step"]
+__all__ = ["make_mask_train_step", "make_ldm_train_step", "make_latent_ldm_train_step"]
 
 
 def make_mask_train_step(
@@ -113,5 +113,40 @@ def make_ldm_train_step(
             jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
         )
         return state, metrics
+
+    return step
+
+
+def make_latent_ldm_train_step(
+    latent_model,
+    ae_params,
+    cond_ae_params=None,
+    **ldm_step_kwargs,
+) -> Callable:
+    """Latent (`_ae`) stage-2 step: the pixel batch is pushed through the
+    FROZEN first/cond stages inside the jitted step (get_input →
+    encode_first_stage + get_learned_conditioning, ddpm.py:662-741), then
+    the pixel-space step logic runs unchanged on latents.
+
+    The AE params are closure constants — they take no gradients and are
+    not part of the train state (the reference freezes its first stage the
+    same way, ddpm.py:510-516 `train=False` + requires_grad off).
+    `latent_model` must already carry the calibrated `scale_factor`
+    (scale_by_std happens once at CLI assembly, not per step)."""
+    from ..models.latent_ldm import LatentSliceLDM
+
+    assert isinstance(latent_model, LatentSliceLDM)
+    inner_step = make_ldm_train_step(latent_model.inner, **ldm_step_kwargs)
+
+    def step(state: EMATrainState, batch: dict, key: jax.Array):
+        ke, kl = jax.random.split(key)
+        z0, cond_z = latent_model.train_loss_inputs(
+            ae_params, ke, batch["image"], batch.get("cond"),
+            cond_ae_params=cond_ae_params,
+        )
+        latent_batch = {**batch, "image": z0}
+        if cond_z is not None:
+            latent_batch["cond"] = cond_z
+        return inner_step(state, latent_batch, kl)
 
     return step

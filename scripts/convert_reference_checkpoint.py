@@ -17,6 +17,15 @@ UNetModel consumes), matching this framework's UNet config.  Add
 `--new-attention-order` only for checkpoints trained with
 use_new_attention_order=True (the reference configs use the legacy
 default).
+
+`--ae [PREFIX]` converts an AutoencoderKL instead (a standalone AE
+training checkpoint, or one embedded in an LDM checkpoint under e.g.
+`first_stage_model.` / `cond_stage_model.` — auto-detected when PREFIX
+is omitted); the output dir is what the sample/serve/train_ldm configs'
+`first_stage.checkpoint` / `cond_stage.checkpoint` keys consume
+(loaded by cli.common.load_ae_params).  The `_ae` porting recipe is
+three runs: `--ae first_stage_model.`, `--ae cond_stage_model.`, and a
+plain UNet conversion of the same checkpoint.
 """
 
 import argparse
@@ -33,7 +42,11 @@ def main(argv=None):
     p.add_argument("--entry", default=None,
                    help="sub-dict to use (default: auto — 'state_dict', then "
                         "'average_model', then the checkpoint root)")
-    p.add_argument("--model-channels", type=int, required=True)
+    p.add_argument("--ae", nargs="?", const="", default=None, metavar="PREFIX",
+                   help="convert an AutoencoderKL instead of a UNet; optional "
+                        "state_dict prefix like 'first_stage_model.' "
+                        "(auto-detected when omitted)")
+    p.add_argument("--model-channels", type=int, default=None)
     p.add_argument("--channel-mult", default="1,2,4,8")
     p.add_argument("--num-res-blocks", type=int, default=2)
     p.add_argument("--attention-resolutions", default="",
@@ -63,6 +76,23 @@ def main(argv=None):
                 break
     sd = {k: v for k, v in sd.items() if hasattr(v, "shape")}
 
+    if args.ae is not None:
+        from jointimagegeneration_tpu.utils.torch_convert import convert_ldm_autoencoder
+
+        tree = convert_ldm_autoencoder(sd, prefix=args.ae or None,
+                                       strict=not args.lenient)
+        n = sum(int(np.prod(v.shape)) for v in __import__("jax").tree.leaves(tree))
+        mgr = CheckpointManager(args.out_dir)
+        # bare-variables layout ({'params': …}, no GANTrainState wrapper) —
+        # load_ae_params detects it by the missing 'g_params' key
+        mgr.save(0, {"params": tree})
+        mgr.wait()
+        print(f"converted AE ({n/1e6:.2f}M params) -> {args.out_dir}; point the "
+              "config's first_stage/cond_stage `checkpoint:` key at it")
+        return
+
+    if args.model_channels is None:
+        p.error("--model-channels is required for UNet conversion")
     attn = tuple(int(a) for a in args.attention_resolutions.split(",") if a)
     params = convert_guided_diffusion_unet(
         sd,
