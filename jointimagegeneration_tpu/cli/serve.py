@@ -18,6 +18,11 @@ POST /generate {"kind": "mask"|"two_stage", "seed": int, "batch": int?,
   line per CT slice as the autoregressive z-loop emits it, then a
   summary line — slice-by-slice delivery instead of a whole-volume wait.
 GET /healthz -> {"status": "ok", "device": ...}
+
+A `first_stage:` (+ optional `cond_stage:`) section under `stage2`
+serves the latent (`_ae`) route: generation runs through LatentSliceLDM
+(cond-stage encode / first-stage decode per slice), matching
+cli/sample.py and the latent train_ldm path.
 """
 
 from __future__ import annotations
@@ -62,7 +67,10 @@ def _batched_mesh(state: dict, bs: int):
 
         mesh = make_mesh_for_batch(bs)
         ent = cache[bs] = (
-            mesh, replicate(mesh, (state["ms_params"], state.get("ldm_params"))))
+            mesh,
+            replicate(mesh, (state["ms_params"], state.get("ldm_params"),
+                             state.get("ae_params"), state.get("cond_ae_params"))),
+        )
     return ent
 
 
@@ -80,7 +88,7 @@ def make_handler(state: dict):
             pass
 
         def _stream_two_stage(self, state, msp, lp, key, bs, cond, mask_steps, t0,
-                              guidance_scale=1.0):
+                              guidance_scale=1.0, ae_params=None, cond_ae_params=None):
             """NDJSON streaming: the mask volume first, then one line per
             generated CT slice AS the autoregressive z-loop produces it
             (stream_volume host generator), then a summary line.  HTTP/1.0
@@ -109,9 +117,17 @@ def make_handler(state: dict):
                 d = int(mask_channel.shape[1])
                 line({"kind": "two_stage_stream", "n_slices": d, "batch": bs,
                       "labels_nifti_b64": _nifti_b64(np.asarray(labels_up[0]).astype(np.uint8))})
-                for z, s in enumerate(state["ldm"].stream_volume(
+                from ..models.latent_ldm import LatentSliceLDM
+
+                if isinstance(state["ldm"], LatentSliceLDM):
+                    gen = state["ldm"].stream_volume(
+                        lp, ae_params, k2, mask_channel, state["ddim"],
+                        cond_ae_params=cond_ae_params, guidance_scale=guidance_scale)
+                else:
+                    gen = state["ldm"].stream_volume(
                         lp, k2, mask_channel, state["ddim"],
-                        guidance_scale=guidance_scale)):
+                        guidance_scale=guidance_scale)
+                for z, s in enumerate(gen):
                     arr = np.asarray(s).astype(np.float16)  # (B, H, W, C)
                     line({"slice": z, "shape": list(arr.shape), "dtype": "float16",
                           "data_b64": base64.b64encode(arr.tobytes()).decode()})
@@ -149,7 +165,7 @@ def make_handler(state: dict):
                     if bs > 1 and len(jax.devices()) > 1:
                         from ..parallel.mesh import shard_batch
 
-                        mesh, (msp, _) = _batched_mesh(state, bs)
+                        mesh, (msp, *_) = _batched_mesh(state, bs)
                         cond = shard_batch(mesh, cond)
                     fc = feature_cond(state.get("feat_fn"), state.get("feat_idx"), cond)
                     batch_labels = np.asarray(
@@ -172,6 +188,7 @@ def make_handler(state: dict):
                     self._json(200, resp)
                 elif kind == "two_stage":
                     pipe, msp, lp = state["pipe"], state["ms_params"], state["ldm_params"]
+                    aep, caep = state.get("ae_params"), state.get("cond_ae_params")
                     # batching across volumes: one volume per data-axis slot
                     # when multiple devices exist (batch axis 0 is sharded,
                     # params replicated — grad-free twin of the train mesh)
@@ -180,20 +197,21 @@ def make_handler(state: dict):
                     if bs > 1 and len(jax.devices()) > 1:
                         from ..parallel.mesh import shard_batch
 
-                        mesh, (msp, lp) = _batched_mesh(state, bs)
+                        mesh, (msp, lp, aep, caep) = _batched_mesh(state, bs)
                         cond = shard_batch(mesh, cond)
                     steps = int(req.get("mask_steps", state["mask_steps"]))
                     gs = float(req.get("guidance_scale", 1.0))
                     if req.get("stream"):
                         self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0,
-                                               guidance_scale=gs)
+                                               guidance_scale=gs, ae_params=aep,
+                                               cond_ae_params=caep)
                         return
                     fc = feature_cond(state.get("feat_fn"), state.get("feat_idx"), cond)
                     ct, labels = pipe(
                         msp, lp, key,
                         mask_shape=(bs, *state["spatial"]), volume_shape=state["volume_shape"],
                         ddim=state["ddim"], mask_steps=steps, cond=cond, feature_cond=fc,
-                        guidance_scale=gs,
+                        guidance_scale=gs, ae_params=aep, cond_ae_params=caep,
                     )
                     ct, labels = np.asarray(ct), np.asarray(labels)
                     resp = {
@@ -239,10 +257,31 @@ def main(argv=None):
              "mask_steps": cfg.get("mask_steps", 250),
              "feat_fn": feat_fn, "feat_idx": feat_idx}
     if "stage2" in cfg:
-        ldm = build_slice_ldm(cfg["stage2"])
+        s2 = cfg["stage2"]
+        ldm = build_slice_ldm(s2)
+        size = s2.get("slice_size", 256)
+        # latent (`_ae`) serving: a first_stage section routes generation
+        # through LatentSliceLDM exactly as in cli/sample.py
+        fs_cfg = s2.get("first_stage")
+        if fs_cfg:
+            from ..models.latent_ldm import LatentSliceLDM
+            from .common import build_autoencoder, load_ae_params
+
+            ae = build_autoencoder(fs_cfg)
+            cond_ae = build_autoencoder(s2["cond_stage"]) if s2.get("cond_stage") else None
+            state["ae_params"] = load_ae_params(ae, fs_cfg, size, 3)
+            state["cond_ae_params"] = (
+                load_ae_params(cond_ae, s2.get("cond_stage"), size, 5)
+                if cond_ae else state["ae_params"]
+            )
+            ldm = LatentSliceLDM(
+                inner=ldm, first_stage=ae, cond_stage=cond_ae,
+                scale_factor=fs_cfg.get("scale_factor", 1.0),
+            )
+            size = size // ae.downsample_factor  # UNet at latent size
         lp = _load_params(
-            lambda: ldm.init_params(jax.random.key(1), cfg["stage2"].get("slice_size", 256)),
-            cfg["stage2"].get("checkpoint"),
+            lambda: (ldm.inner if fs_cfg else ldm).init_params(jax.random.key(1), size),
+            s2.get("checkpoint"),
         )
         state.update(
             pipe=TwoStagePipeline(ms, ldm), ldm=ldm, ldm_params=lp,

@@ -105,6 +105,64 @@ def test_latent_train_cli_and_scale_by_std(tmp_path):
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
+def test_serve_latent_two_stage(tmp_path):
+    """The serve CLI drives the latent (`_ae`) route: a first_stage section
+    in the config routes two_stage generation (and streaming) through
+    LatentSliceLDM with the AE params in the handler state."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    from jointimagegeneration_tpu.cli.serve import make_handler
+    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+    from jointimagegeneration_tpu.models import MaskSampler
+    from jointimagegeneration_tpu.pipeline import TwoStagePipeline
+
+    ms = MaskSampler.create(
+        num_classes=4, time_steps=6, model_channels=8, channel_mult=(1, 2),
+        attention_resolutions=(), num_res_blocks=1, num_head_channels=4)
+    spatial = (4, 8, 8)
+    msp = ms.init_params(jax.random.key(0), spatial, cond_channels=1)
+    ae, ae_p = _tiny_ae(1)
+    cond_ae, cond_p = _tiny_ae(2, seed=7)
+    ldm = SliceLDM.create(
+        image_channels=2, cond_channels=2, timesteps=6, model_channels=8,
+        channel_mult=(1, 2), attention_resolutions=(), num_res_blocks=1,
+        num_head_channels=4, dtype=jnp.float32)
+    latent = LatentSliceLDM(inner=ldm, first_stage=ae, cond_stage=cond_ae)
+    lp = ldm.init_params(jax.random.key(1), 8)  # latent size 16//2
+    state = {
+        "ms": ms, "ms_params": msp, "spatial": spatial, "mask_steps": 2,
+        "pipe": TwoStagePipeline(ms, latent), "ldm": latent, "ldm_params": lp,
+        "ae_params": ae_p, "cond_ae_params": cond_p,
+        "ddim": DDIMParams.create(ldm.diffusion, 2), "volume_shape": (4, 16, 16),
+    }
+    server = HTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        for stream in (False, True):
+            body = json.dumps({"kind": "two_stage", "seed": 1, "stream": stream}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                raw = r.read().decode()
+            if stream:
+                lines = [json.loads(l) for l in raw.splitlines()]
+                assert lines[0]["n_slices"] == 4 and lines[-1]["done"] is True
+                arr = np.frombuffer(base64.b64decode(lines[1]["data_b64"]), np.float16)
+                assert arr.reshape(lines[1]["shape"]).shape == (1, 16, 16, 1)
+            else:
+                resp = json.loads(raw)
+                assert base64.b64decode(resp["ct_nifti_b64"])[:2] == b"\x1f\x8b"
+    finally:
+        server.shutdown()
+
+
 def test_converted_ae_checkpoint_loads(tmp_path):
     """scripts/convert_reference_checkpoint.py --ae writes a checkpoint dir
     that load_ae_params restores bit-exactly onto the model template."""
