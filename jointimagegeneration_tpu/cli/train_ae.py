@@ -40,7 +40,10 @@ def main(argv=None):
     maybe_initialize_distributed()
     mesh = make_mesh_for_batch(cfg.get("batch_size", 1))
     dims = dd.get("dims", 2)
-    model = AutoencoderKL(
+    # `model.type: vq` trains the VQGAN variant (reference VQModel +
+    # vqperceptual.py loss) with the same dual-optimizer loop
+    is_vq = m.get("type", "kl") == "vq"
+    common = dict(
         embed_dim=m.get("embed_dim", 4),
         ch=dd.get("ch", 128),
         ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
@@ -53,27 +56,40 @@ def main(argv=None):
         dropout=dd.get("dropout", 0.0),
         resolution=dd.get("resolution", 512),
     )
+    if is_vq:
+        from ..models.autoencoder import VQModel
+
+        model = VQModel(n_embed=m.get("n_embed", 8192), **common)
+    else:
+        model = AutoencoderKL(**common)
     disc = PatchDiscriminator(dims=dims, ndf=loss_cfg.get("disc_ndf", 64), n_layers=loss_cfg.get("disc_num_layers", 3))
 
     size = dd.get("resolution", 512)
     shape = (1, size, size, dd.get("in_channels", 1)) if dims == 2 else (1, 16, size, size, dd.get("in_channels", 1))
-    g_params = model.init(jax.random.key(0), jnp.zeros(shape), jax.random.key(1))
+    if is_vq:
+        g_params = model.init(jax.random.key(0), jnp.zeros(shape))
+    else:
+        g_params = model.init(jax.random.key(0), jnp.zeros(shape), jax.random.key(1))
     d_params = disc.init(jax.random.key(2), jnp.zeros(shape))
     lr = m.get("base_learning_rate", 4.5e-6) * cfg.get("batch_size", 1) * mesh.devices.size
     g_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))
     d_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))
     state = GANTrainState.create(g_params, d_params, g_tx, d_tx)
 
-    step_fn = jax.jit(
-        make_autoencoder_train_step(
-            model, disc,
-            kl_weight=loss_cfg.get("kl_weight", 1e-6),
-            disc_weight=loss_cfg.get("disc_weight", 0.5),
-            disc_start=loss_cfg.get("disc_start", 50001),
-            pixel_loss=loss_cfg.get("pixel_loss", "l1"),
-        ),
-        donate_argnums=(0,),
+    loss_kw = dict(
+        disc_weight=loss_cfg.get("disc_weight", 0.5),
+        disc_start=loss_cfg.get("disc_start", 50001),
+        pixel_loss=loss_cfg.get("pixel_loss", "l1"),
     )
+    if is_vq:
+        from ..train.gan import make_vq_train_step
+
+        raw_step = make_vq_train_step(
+            model, disc, codebook_weight=loss_cfg.get("codebook_weight", 1.0), **loss_kw)
+    else:
+        raw_step = make_autoencoder_train_step(
+            model, disc, kl_weight=loss_cfg.get("kl_weight", 1e-6), **loss_kw)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
     train_ds = build_slice_dataset(cfg, "train")
     loader = DataLoader(train_ds, cfg.get("batch_size", 1), sharding=NamedSharding(mesh, P("data")))

@@ -26,17 +26,28 @@ __all__ = ["fvd", "downsample_feature_fn", "i3d_feature_fn", "i3d_npz_feature_fn
 
 
 def downsample_feature_fn(vol: np.ndarray, levels: int = 3) -> np.ndarray:
-    """(D, H, W) -> (F,) pyramid statistics feature vector."""
+    """(D, H, W) -> (F,) pyramid statistics feature vector.
+
+    Fixed length for ANY input size: per-axis profiles are resampled to
+    exactly 8 taps, and the pyramid stops halving once a dimension would
+    vanish (a depth-3 volume previously produced empty slices -> NaN
+    features -> LinAlgError inside the Fréchet distance)."""
     feats = []
     v = np.asarray(vol, np.float32)
+
+    def profile(x: np.ndarray) -> np.ndarray:  # 1-D profile -> 8 taps
+        idx = np.linspace(0, len(x) - 1, 8).round().astype(int)
+        return x[idx]
+
     for _ in range(levels):
         feats.extend([v.mean(), v.std()])
         # per-axis profiles (coarse structure)
-        feats.extend(v.mean(axis=(1, 2))[:: max(1, v.shape[0] // 8)][:8])
-        feats.extend(v.mean(axis=(0, 2))[:: max(1, v.shape[1] // 8)][:8])
-        feats.extend(v.mean(axis=(0, 1))[:: max(1, v.shape[2] // 8)][:8])
-        v = v[: v.shape[0] // 2 * 2, : v.shape[1] // 2 * 2, : v.shape[2] // 2 * 2]
-        v = v.reshape(v.shape[0] // 2, 2, v.shape[1] // 2, 2, v.shape[2] // 2, 2).mean((1, 3, 5))
+        feats.extend(profile(v.mean(axis=(1, 2))))
+        feats.extend(profile(v.mean(axis=(0, 2))))
+        feats.extend(profile(v.mean(axis=(0, 1))))
+        if min(v.shape) >= 2:
+            v = v[: v.shape[0] // 2 * 2, : v.shape[1] // 2 * 2, : v.shape[2] // 2 * 2]
+            v = v.reshape(v.shape[0] // 2, 2, v.shape[1] // 2, 2, v.shape[2] // 2, 2).mean((1, 3, 5))
     return np.asarray(feats, np.float32)
 
 

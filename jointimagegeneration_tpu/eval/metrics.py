@@ -130,18 +130,35 @@ def hungarian_matched_iou(samples: np.ndarray, references: np.ndarray, num_class
 
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6) -> float:
     """||mu_a - mu_b||² + tr(Sa + Sb - 2(Sa Sb)^{1/2}); (N, D) features."""
-    from scipy import linalg
-
     mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
     sa = np.cov(feats_a, rowvar=False)
     sb = np.cov(feats_b, rowvar=False)
     diff = mu_a - mu_b
-    covmean = linalg.sqrtm(sa @ sb)
-    if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
-        covmean = covmean[0]
-    if not np.isfinite(covmean).all():
-        offset = np.eye(sa.shape[0]) * eps
-        covmean = linalg.sqrtm((sa + offset) @ (sb + offset))
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    return float(diff @ diff + np.trace(sa) + np.trace(sb) - 2 * np.trace(covmean))
+    return float(diff @ diff + np.trace(sa) + np.trace(sb)
+                 - 2 * _trace_sqrt_product(sa, sb, eps))
+
+
+def _trace_sqrt_product(sa: np.ndarray, sb: np.ndarray, eps: float) -> float:
+    """tr((Sa Sb)^{1/2}), robust to the rank-deficient covariances of small
+    sample sets: scipy.sqrtm first; on failure (it RAISES on some singular
+    products, e.g. 2-sample covs) the PSD-safe identity
+    tr((Sa Sb)^{1/2}) = tr((Sa^{1/2} Sb Sa^{1/2})^{1/2}) via eigh with
+    eigenvalues clipped at 0."""
+    from scipy import linalg
+
+    try:
+        covmean = linalg.sqrtm(sa @ sb)
+        if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
+            covmean = covmean[0]
+        if np.isfinite(covmean).all():
+            if np.iscomplexobj(covmean):
+                covmean = covmean.real
+            return float(np.trace(covmean))
+    except Exception:
+        pass
+    n = sa.shape[0]
+    wa, va = np.linalg.eigh((sa + sa.T) / 2 + eps * np.eye(n))
+    root_a = (va * np.sqrt(np.clip(wa, 0, None))) @ va.T
+    m = root_a @ ((sb + sb.T) / 2 + eps * np.eye(n)) @ root_a
+    w = np.linalg.eigvalsh((m + m.T) / 2)
+    return float(np.sum(np.sqrt(np.clip(w, 0, None))))

@@ -163,6 +163,42 @@ def test_serve_latent_two_stage(tmp_path):
         server.shutdown()
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("ae_type", ["kl", "vq"])
+def test_train_ae_cli(tmp_path, ae_type):
+    """The first-stage AE training CLI runs both variants from config:
+    AutoencoderKL (+PatchGAN, autoencoder.py:385-429) and `type: vq`
+    (VQModel + the vqperceptual loss)."""
+    from jointimagegeneration_tpu.cli import train_ae
+
+    cfg = {
+        "batch_size": 2, "max_steps": 2, "save_freq": 2, "display_freq": 1,
+        "output_path": str(tmp_path / "runs"),
+        "model": {
+            "type": ae_type, "embed_dim": 2, "n_embed": 16,
+            "base_learning_rate": 1e-4,
+            "ddconfig": {"dims": 2, "ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1,
+                         "attn_resolutions": [], "z_channels": 2, "in_channels": 1,
+                         "out_ch": 1, "resolution": 16},
+            "lossconfig": {"disc_start": 1, "disc_num_layers": 1, "disc_ndf": 8},
+        },
+        "dataset": {"kind": "synthetic", "num_cases": 4, "slice_shape": [16, 16],
+                    "depth": 4},
+    }
+    cfg_path = tmp_path / f"ae_{ae_type}.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train_ae.main([str(cfg_path), f"{ae_type}exp"])
+    ckdir = tmp_path / "runs" / f"{ae_type}exp" / "checkpoints"
+    from jointimagegeneration_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckdir)
+    assert mgr.latest_step() == 2
+    raw = mgr.restore_raw()
+    assert "g_params" in raw and "d_params" in raw
+    if ae_type == "vq":
+        assert "quantize" in raw["g_params"]["params"]
+
+
 def test_converted_ae_checkpoint_loads(tmp_path):
     """scripts/convert_reference_checkpoint.py --ae writes a checkpoint dir
     that load_ae_params restores bit-exactly onto the model template."""

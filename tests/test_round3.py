@@ -293,6 +293,34 @@ def test_tile_config_key_ct_sample_cli(tmp_path):
     assert vol.shape == (3, 24, 24) and np.all(np.isfinite(vol))
 
 
+@pytest.mark.slow
+def test_ct_sample_cli_metrics(tmp_path):
+    """The ct sampling CLI computes reference-parity image metrics when the
+    dataset carries GT volumes (sample_diffusion.py:457-488): per-case
+    LPIPS 3-view + FVD over the case set, written to metrics.json."""
+    import json
+
+    from jointimagegeneration_tpu.cli import sample as sample_cli
+
+    cfg = {
+        "stage": "ct", "n_cases": 2, "ddim_steps": 2, "seed": 5,
+        "output_path": str(tmp_path / "samples"),
+        "stage2": {
+            "timesteps": 8, "bf16": False, "slice_size": 16,
+            "unet": {"model_channels": 8, "channel_mult": [1, 2], "attention_resolutions": [],
+                     "num_res_blocks": 1, "num_head_channels": 4},
+            "dataset": {"kind": "synthetic", "num_cases": 2, "slice_shape": [16, 16], "depth": 3},
+        },
+    }
+    p = tmp_path / "ct_metrics.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    sample_cli.main([str(p)])
+    m = json.loads((tmp_path / "samples" / "metrics.json").read_text())
+    assert len(m["lpips_per_case"]) == 2
+    assert np.isfinite(m["lpips_three_view_mean"]) and np.isfinite(m["fvd"])
+    assert m["fvd_backbone"] == "pyramid"
+
+
 # ----------------------------------------------- ViT log-bin + saliency extras
 
 
