@@ -199,6 +199,82 @@ def test_train_ae_cli(tmp_path, ae_type):
         assert "quantize" in raw["g_params"]["params"]
 
 
+@pytest.mark.slow
+def test_migration_recipe_e2e(tmp_path, capsys):
+    """The MIGRATION.md `_ae` porting recipe end-to-end: ONE combined
+    Lightning-style checkpoint (model.diffusion_model.* UNet +
+    first_stage_model.* + cond_stage_model.* AEs) converted by three
+    converter runs, then the latent sampling CLI generates a volume from
+    the converted weights with NO fresh-init fallback."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    import yaml as _yaml
+
+    sys.path.insert(0, "scripts")
+    try:
+        from convert_reference_checkpoint import main as convert_main
+    finally:
+        sys.path.pop(0)
+    from test_ae_convert_golden import _sd_tiny_ae
+    from test_torch_convert import _sd_tiny
+
+    t = lambda *s: torch.tensor(np.random.RandomState(9).randn(*s).astype(np.float32) * 0.2)
+    # UNet re-headed for the latent space: in = z(2) + cond_z(2), out = 2
+    sd = _sd_tiny(prefix="model.diffusion_model.")
+    sd["model.diffusion_model.input_blocks.0.0.weight"] = t(8, 4, 3, 3)
+    sd["model.diffusion_model.out.2.weight"] = t(2, 8, 3, 3)
+    sd["model.diffusion_model.out.2.bias"] = t(2)
+    sd.update(_sd_tiny_ae(seed=4, prefix="first_stage_model."))
+    cond_sd = _sd_tiny_ae(seed=5, prefix="cond_stage_model.")
+    # 2-channel condition AE ([prev slice, mask slice])
+    cond_sd["cond_stage_model.encoder.conv_in.weight"] = t(8, 2, 3, 3)
+    cond_sd["cond_stage_model.decoder.conv_out.weight"] = t(2, 8, 3, 3)
+    cond_sd["cond_stage_model.decoder.conv_out.bias"] = t(2)
+    sd.update(cond_sd)
+    pt = tmp_path / "ldm_ae_full.pt"
+    torch.save({"state_dict": sd}, pt)
+
+    convert_main([str(pt), str(tmp_path / "unet"), "--model-channels", "8",
+                  "--channel-mult", "1,2", "--num-res-blocks", "1",
+                  "--attention-resolutions", "2", "--num-head-channels", "4"])
+    convert_main([str(pt), str(tmp_path / "ae"), "--ae", "first_stage_model."])
+    convert_main([str(pt), str(tmp_path / "cond"), "--ae", "cond_stage_model."])
+
+    dd = {"ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [8],
+          "z_channels": 2, "resolution": 16}
+    cfg = {
+        "stage": "ct", "n_cases": 1, "ddim_steps": 2, "seed": 3, "metrics": False,
+        "output_path": str(tmp_path / "samples"),
+        "stage2": {
+            "slice_size": 16, "timesteps": 8, "bf16": False,
+            "channels": 2, "cond_channels": 2,
+            "checkpoint": str(tmp_path / "unet"),
+            "unet_config": {"params": {"model_channels": 8, "channel_mult": [1, 2],
+                                       "attention_resolutions": [2],
+                                       "num_res_blocks": 1, "num_head_channels": 4}},
+            "first_stage": {"embed_dim": 2, "checkpoint": str(tmp_path / "ae"),
+                            "ddconfig": {**dd, "in_channels": 1, "out_ch": 1}},
+            "cond_stage": {"embed_dim": 2, "checkpoint": str(tmp_path / "cond"),
+                           "ddconfig": {**dd, "in_channels": 2, "out_ch": 2}},
+            "dataset": {"kind": "synthetic", "slice_shape": [16, 16], "depth": 3,
+                        "num_cases": 1},
+        },
+    }
+    p = tmp_path / "sample_ported.yml"
+    p.write_text(_yaml.safe_dump(cfg))
+    from jointimagegeneration_tpu.cli import sample as sample_cli
+
+    capsys.readouterr()  # drop converter output
+    sample_cli.main([str(p)])
+    out = capsys.readouterr().out
+    assert "FRESH-INIT" not in out, f"a converted checkpoint failed to load:\n{out}"
+    from jointimagegeneration_tpu.data import read_nifti
+
+    vol, _ = read_nifti(tmp_path / "samples" / "case_0000" / "image.nii.gz")
+    assert np.asarray(vol).shape == (3, 16, 16) and np.all(np.isfinite(np.asarray(vol)))
+
+
 def test_converted_ae_checkpoint_loads(tmp_path):
     """scripts/convert_reference_checkpoint.py --ae writes a checkpoint dir
     that load_ae_params restores bit-exactly onto the model template."""
