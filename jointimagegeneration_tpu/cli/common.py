@@ -24,8 +24,61 @@ from ..train import EMATrainState, build_optimizer
 __all__ = [
     "build_mask_sampler", "build_slice_ldm", "build_mask_dataset",
     "build_slice_dataset", "build_autoencoder", "build_dino_feature_fn",
-    "feature_cond", "load_ae_params",
+    "feature_cond", "load_ae_params", "build_latent_ldm", "LATENT_SCALE_FILE",
 ]
+
+LATENT_SCALE_FILE = "latent_scale.json"
+
+
+def build_latent_ldm(s2: dict, inner, size: int):
+    """Assemble the latent (`_ae`) route — ONE definition shared by
+    sample/serve/train_ldm so the wiring cannot drift between surfaces:
+    build + load the frozen AEs, resolve the latent scale factor, wrap the
+    pixel-space SliceLDM.  Returns (latent, ae_params, cond_ae_params,
+    latent_size); (None, None, None, size) when `s2` has no first_stage.
+
+    scale_factor resolution order: explicit `first_stage.scale_factor`;
+    else the `latent_scale.json` sidecar next to the UNet checkpoint
+    (written by train_ldm when `scale_by_std` calibrates — the reference
+    persists scale_factor inside its checkpoint, ddpm.py:484-499); else
+    1.0 with a warning if the model was likely std-calibrated."""
+    fs_cfg = s2.get("first_stage")
+    if not fs_cfg:
+        return None, None, None, size
+    from ..models.latent_ldm import LatentSliceLDM
+
+    ae = build_autoencoder(fs_cfg)
+    cond_ae = build_autoencoder(s2["cond_stage"]) if s2.get("cond_stage") else None
+    # the volume routes always encode the [prev slice (out_ch), mask (1)]
+    # pixel pair — with no cond_stage the first-stage encoder would be fed
+    # out_ch+1 channels and die inside jit; fail at assembly instead
+    enc = cond_ae or ae
+    need = ae.out_ch + 1
+    if enc.in_channels != need:
+        which = "cond_stage" if cond_ae else "first_stage (used as cond encoder — add a cond_stage section)"
+        raise ValueError(
+            f"latent cond encoder ({which}) has in_channels={enc.in_channels} but the "
+            f"[prev slice, mask] condition is {need}-channel")
+    ae_params = load_ae_params(ae, fs_cfg, size, 3)
+    cond_ae_params = (
+        load_ae_params(cond_ae, s2.get("cond_stage"), size, 5) if cond_ae else ae_params
+    )
+    sf = fs_cfg.get("scale_factor")
+    if sf is None:
+        sf = 1.0
+        ck = s2.get("checkpoint")
+        if ck:
+            import json
+            from pathlib import Path
+
+            sidecar = Path(ck) / LATENT_SCALE_FILE
+            if sidecar.exists():
+                sf = float(json.loads(sidecar.read_text())["scale_factor"])
+                print(f"latent scale_factor {sf:.4f} from {sidecar}")
+    latent = LatentSliceLDM(
+        inner=inner, first_stage=ae, cond_stage=cond_ae, scale_factor=float(sf)
+    )
+    return latent, ae_params, cond_ae_params, size // ae.downsample_factor
 
 
 def load_ae_params(module: AutoencoderKL, section: Optional[dict], size: int,
@@ -59,15 +112,23 @@ def load_ae_params(module: AutoencoderKL, section: Optional[dict], size: int,
         if mgr.latest_step() is not None:
             raw = mgr.restore_raw()
             gp = raw.get("g_params", raw if "params" in raw else None)
-            if gp is not None:
-                template = fresh()
-                restored = flax.serialization.from_state_dict(template, gp)
-                jax.tree.map(
-                    lambda t, r: (_ for _ in ()).throw(ValueError(
-                        f"AE checkpoint leaf shape {r.shape} != model {t.shape} "
-                        f"(wrong ddconfig for {ck}?)")) if t.shape != r.shape else None,
-                    template, restored)
-                return restored
+            if gp is None:
+                # the path RESOLVED to a checkpoint; wrong contents must not
+                # masquerade as a missing path and train against random AEs
+                raise ValueError(
+                    f"checkpoint at {ck!r} has neither 'g_params' (cli.train_ae) "
+                    f"nor 'params' (converted AE) — keys: {sorted(raw)[:6]}; "
+                    "is this an AE checkpoint?")
+            template = fresh()
+            restored = flax.serialization.from_state_dict(template, gp)
+            jax.tree.map(
+                lambda t, r: (_ for _ in ()).throw(ValueError(
+                    f"AE checkpoint leaf shape {r.shape} != model {t.shape} "
+                    f"(wrong ddconfig for {ck}?)")) if t.shape != r.shape else None,
+                template, restored)
+            # resident on device once — jitted per-slice calls (serve
+            # streaming) must not re-upload the full AE trees per slice
+            return jax.device_put(restored)
     print(f"WARNING: no AE checkpoint at {ck!r} — using FRESH-INIT (random) "
           "first-stage weights" if ck else
           "WARNING: no AE checkpoint configured — using FRESH-INIT (random) "

@@ -28,13 +28,12 @@ from ..eval.metrics import per_class_dice
 from ..eval.writers import image_volume_to_grid, labels_to_grid, save_grid_png, save_image_volume, save_label_volume
 from ..pipeline import TwoStagePipeline
 from .common import (
-    build_autoencoder,
+    build_latent_ldm,
     build_mask_dataset,
     build_mask_sampler,
     build_slice_dataset,
     build_slice_ldm,
     feature_cond,
-    load_ae_params,
 )
 
 
@@ -110,23 +109,10 @@ def main(argv=None):
         size = s2.get("slice_size", 512)
         # latent (`_ae`) path: a first-stage AE checkpoint routes generation
         # through LatentSliceLDM (sample_diffusion.py:196-224 with encode/
-        # decode; VERDICT Missing #8) — the UNet then runs at latent size.
-        latent = None
-        fs_cfg = s2.get("first_stage")
-        if fs_cfg:
-            from ..models.latent_ldm import LatentSliceLDM
-
-            ae = build_autoencoder(fs_cfg)
-            cond_ae = build_autoencoder(s2["cond_stage"]) if s2.get("cond_stage") else None
-            ae_params = load_ae_params(ae, fs_cfg, size, 3)
-            cond_ae_params = (
-                load_ae_params(cond_ae, s2.get("cond_stage"), size, 5) if cond_ae else ae_params
-            )
-            latent = LatentSliceLDM(
-                inner=ldm, first_stage=ae, cond_stage=cond_ae,
-                scale_factor=fs_cfg.get("scale_factor", 1.0),
-            )
-            size = size // ae.downsample_factor  # UNet init at latent size
+        # decode; VERDICT Missing #8) — the UNet then runs at latent size;
+        # the scale factor resolves from the trainer's latent_scale.json
+        # sidecar when the config does not pin one
+        latent, ae_params, cond_ae_params, size = build_latent_ldm(s2, ldm, size)
         ldm_params = _load_params(
             lambda: ldm.init_params(jax.random.key(1), size),
             s2.get("checkpoint"),
@@ -266,13 +252,13 @@ def main(argv=None):
     # `wholeimage` GT volume, off with `metrics: false`
     gen_vols, gt_vols, lpips_vals = [], [], []
     lp_metric = None
+    ds = build_slice_dataset(cfg.get("stage2", cfg), "val")
     for i in range(n_cases):  # stage == "ct": per-case autoregressive volumes
         key, sub = jax.random.split(key)
         case_dir = outdir / f"case_{i:04d}"
         case_dir.mkdir(exist_ok=True)
 
         if stage == "ct":
-            ds = build_slice_dataset(cfg.get("stage2", cfg), "val")
             item = ds[i % len(ds)]
             if latent is not None:
                 mask = jnp.asarray(item["wholemask"])[None]

@@ -258,29 +258,20 @@ def main(argv=None):
              "feat_fn": feat_fn, "feat_idx": feat_idx}
     if "stage2" in cfg:
         s2 = cfg["stage2"]
-        ldm = build_slice_ldm(s2)
+        inner = build_slice_ldm(s2)
         size = s2.get("slice_size", 256)
         # latent (`_ae`) serving: a first_stage section routes generation
-        # through LatentSliceLDM exactly as in cli/sample.py
-        fs_cfg = s2.get("first_stage")
-        if fs_cfg:
-            from ..models.latent_ldm import LatentSliceLDM
-            from .common import build_autoencoder, load_ae_params
+        # through LatentSliceLDM, shared assembly with sample/train_ldm
+        # (scale factor resolves from the trainer's latent_scale.json)
+        from .common import build_latent_ldm
 
-            ae = build_autoencoder(fs_cfg)
-            cond_ae = build_autoencoder(s2["cond_stage"]) if s2.get("cond_stage") else None
-            state["ae_params"] = load_ae_params(ae, fs_cfg, size, 3)
-            state["cond_ae_params"] = (
-                load_ae_params(cond_ae, s2.get("cond_stage"), size, 5)
-                if cond_ae else state["ae_params"]
-            )
-            ldm = LatentSliceLDM(
-                inner=ldm, first_stage=ae, cond_stage=cond_ae,
-                scale_factor=fs_cfg.get("scale_factor", 1.0),
-            )
-            size = size // ae.downsample_factor  # UNet at latent size
+        latent, ae_params, cond_ae_params, size = build_latent_ldm(s2, inner, size)
+        ldm = latent if latent is not None else inner
+        if latent is not None:
+            state["ae_params"] = ae_params
+            state["cond_ae_params"] = cond_ae_params
         lp = _load_params(
-            lambda: (ldm.inner if fs_cfg else ldm).init_params(jax.random.key(1), size),
+            lambda: inner.init_params(jax.random.key(1), size),
             s2.get("checkpoint"),
         )
         state.update(

@@ -10,6 +10,7 @@ unless `scale_lr: false`.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,12 @@ from ..train import (
     make_ldm_train_step,
 )
 from ..train.trainer import Trainer, TrainerConfig
-from .common import build_autoencoder, build_slice_dataset, build_slice_ldm, load_ae_params
+from .common import (
+    LATENT_SCALE_FILE,
+    build_latent_ldm,
+    build_slice_dataset,
+    build_slice_ldm,
+)
 
 
 def main(argv=None):
@@ -47,21 +53,10 @@ def main(argv=None):
     # through frozen AEs inside the train step and the UNet trains at
     # latent size (the reference's ruijin-ldm_from_controlnet_ae.yaml +
     # ddpm.py:662-741 get_input path)
-    latent = None
-    fs_cfg = model_cfg.get("first_stage")
-    if fs_cfg:
-        from ..models.latent_ldm import LatentSliceLDM
-
-        ae = build_autoencoder(fs_cfg)
-        cond_ae = build_autoencoder(model_cfg["cond_stage"]) if model_cfg.get("cond_stage") else None
-        ae_params = load_ae_params(ae, fs_cfg, size, 3)
-        cond_ae_params = (
-            load_ae_params(cond_ae, model_cfg.get("cond_stage"), size, 5) if cond_ae else ae_params
-        )
-        latent = LatentSliceLDM(
-            inner=model, first_stage=ae, cond_stage=cond_ae,
-            scale_factor=fs_cfg.get("scale_factor", 1.0),
-        )
+    logdir = Path(cfg.get("output_path", "runs")) / exp
+    latent, ae_params, cond_ae_params, size = build_latent_ldm(model_cfg, model, size)
+    if latent is not None:
+        ae, cond_ae = latent.first_stage, latent.cond_stage
         if model_cfg.get("scale_by_std", False):
             # calibrate once from the first training batch
             # (ddpm.py:484-499 on_train_batch_start)
@@ -71,7 +66,15 @@ def main(argv=None):
             ])
             latent = latent.calibrate_scale_factor(ae_params, calib)
             print(f"scale_by_std: calibrated scale_factor={latent.scale_factor:.4f}")
-        size = size // ae.downsample_factor  # UNet trains at latent size
+            # persist next to the checkpoints so sample/serve resolve the
+            # SAME scale the UNet trained in (the reference keeps
+            # scale_factor inside its checkpoint)
+            import json
+
+            ckdir = logdir / "checkpoints"
+            ckdir.mkdir(parents=True, exist_ok=True)
+            (ckdir / LATENT_SCALE_FILE).write_text(
+                json.dumps({"scale_factor": latent.scale_factor}))
 
     batch_size = cfg.get("batch_size", 1)
     accumulate = cfg.get("accumulate_grad_batches", 1)
@@ -181,7 +184,7 @@ def main(argv=None):
         state = replicate(mesh, state)
         trainer = Trainer(
             TrainerConfig(
-                logdir=f"{cfg.get('output_path', 'runs')}/{exp}",
+                logdir=str(logdir),
                 max_steps=total_steps,
                 log_every=cfg.get("display_freq", 50),
                 save_every=cfg.get("save_freq", 1000),

@@ -298,14 +298,21 @@ def convert_ldm_autoencoder(sd: Dict[str, "np.ndarray"], prefix: Optional[str] =
 
     With an LDM LatentDiffusion checkpoint, pass
     prefix='first_stage_model.' (or 'cond_stage_model.'); a standalone AE
-    training checkpoint auto-detects.  `loss.*` keys (LPIPS +
-    discriminators) are skipped — inference needs none of them."""
+    training checkpoint auto-detects — ambiguous checkpoints (more than
+    one embedded AE) REFUSE to guess.  A VQModel checkpoint (detected by
+    `quantize.embedding.weight`) additionally maps the codebook to
+    `quantize.codebook`.  `loss.*` keys (LPIPS + discriminators) are
+    skipped — inference needs none of them."""
     if prefix is None:
         marker = "encoder.conv_in.weight"
         cands = [k[: -len(marker)] for k in sd if k.endswith(marker)]
         if not cands:
             raise KeyError(f"no AutoencoderKL found (no key ends with {marker!r})")
-        prefix = sorted(cands, key=len)[0]
+        if len(cands) > 1:
+            raise ValueError(
+                f"checkpoint embeds {len(cands)} AEs ({sorted(cands)}); pass the "
+                "prefix explicitly (e.g. --ae first_stage_model.)")
+        prefix = cands[0]
     r = _Reader(sd, prefix)
     out = {
         "encoder": _vae_trunk(r, "encoder"),
@@ -315,6 +322,9 @@ def convert_ldm_autoencoder(sd: Dict[str, "np.ndarray"], prefix: Optional[str] =
         "post_quant_conv": {"kernel": _conv_kernel(r("post_quant_conv.weight")),
                             "bias": r("post_quant_conv.bias")},
     }
+    if r.has("quantize.embedding.weight"):
+        # taming VectorQuantizer codebook -> nn/vae.py VectorQuantizer
+        out["quantize"] = {"codebook": r("quantize.embedding.weight")}
     leftover = [k for k in r.unconsumed() if ".loss." not in k and not k.startswith(f"{prefix}loss.")]
     if leftover and strict:
         raise ValueError(f"unconsumed AE keys: {leftover[:8]}"

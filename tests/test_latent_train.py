@@ -103,6 +103,97 @@ def test_latent_train_cli_and_scale_by_std(tmp_path):
         model.init_params(jax.random.key(0), 8), build_optimizer("AdamW", 1e-3))
     state = CheckpointManager(logdir / "checkpoints").restore(template)
     assert int(state.step) == 3
+    # the calibrated scale persists next to the checkpoints, and the shared
+    # assembly resolves it for sample/serve (the reference keeps
+    # scale_factor inside its checkpoint; a printed-only value would decode
+    # inference latents at the wrong scale)
+    from jointimagegeneration_tpu.cli.common import LATENT_SCALE_FILE, build_latent_ldm
+
+    sidecar = logdir / "checkpoints" / LATENT_SCALE_FILE
+    assert sidecar.exists()
+    sf = json.loads(sidecar.read_text())["scale_factor"]
+    assert np.isfinite(sf) and sf != 1.0
+    s2 = dict(cfg["model"], checkpoint=str(logdir / "checkpoints"))
+    latent, _, _, latent_size = build_latent_ldm(s2, model, 16)
+    assert latent.scale_factor == pytest.approx(sf) and latent_size == 8
+
+
+def test_load_ae_params_unknown_layout_raises(tmp_path):
+    """An EXISTING checkpoint with neither 'g_params' nor 'params' must
+    raise, not silently fall back to random AE weights (a wrong-path
+    warning would let a 100k-step run train against fresh-init AEs)."""
+    from jointimagegeneration_tpu.cli.common import load_ae_params
+    from jointimagegeneration_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(0, {"ema_params": {"w": np.ones(3)}, "step": 0})
+    mgr.wait()
+    ae, _ = _tiny_ae(1)
+    with pytest.raises(ValueError, match="neither 'g_params'"):
+        load_ae_params(ae, {"checkpoint": str(tmp_path / "ck")}, 16)
+
+
+def test_build_latent_ldm_requires_cond_channels():
+    """A latent config whose cond encoder cannot take the [prev, mask]
+    pixel pair fails at assembly, not inside jit at request time."""
+    from jointimagegeneration_tpu.cli.common import build_latent_ldm
+    from jointimagegeneration_tpu.models import SliceLDM
+
+    ldm = SliceLDM.create(image_channels=2, cond_channels=2, timesteps=8,
+                          model_channels=8, channel_mult=(1, 2),
+                          attention_resolutions=(), num_res_blocks=1,
+                          num_head_channels=4, dtype=jnp.float32)
+    dd = {"ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [],
+          "z_channels": 2, "resolution": 16, "in_channels": 1, "out_ch": 1}
+    # 1-channel first stage, no cond_stage: encoder can't take 2 channels
+    with pytest.raises(ValueError, match="in_channels=1"):
+        build_latent_ldm({"first_stage": {"embed_dim": 2, "ddconfig": dd}}, ldm, 16)
+
+
+def test_convert_ae_ambiguous_prefix_raises():
+    """Auto-prefix refuses to guess between first_stage_model. and
+    cond_stage_model. (the shortest-prefix tiebreak silently converted
+    the WRONG AE)."""
+    pytest.importorskip("torch")
+    from test_ae_convert_golden import _sd_tiny_ae
+    from jointimagegeneration_tpu.utils.torch_convert import convert_ldm_autoencoder
+
+    sd = {**_sd_tiny_ae(prefix="first_stage_model."),
+          **_sd_tiny_ae(seed=2, prefix="cond_stage_model.")}
+    with pytest.raises(ValueError, match="embeds 2 AEs"):
+        convert_ldm_autoencoder(sd)
+    out = convert_ldm_autoencoder(sd, prefix="first_stage_model.")
+    assert "encoder" in out
+
+
+def test_convert_vq_autoencoder():
+    """A reference VQModel state_dict (single-z encoder, embed-dim
+    quant_conv, quantize.embedding codebook) converts onto our VQModel."""
+    torch = pytest.importorskip("torch")
+    import flax.serialization
+
+    from test_ae_convert_golden import CH, EMB, MULT, NRB, RES, ZC, _sd_tiny_ae
+    from jointimagegeneration_tpu.models.autoencoder import VQModel
+    from jointimagegeneration_tpu.utils.torch_convert import convert_ldm_autoencoder
+
+    rs = np.random.RandomState(3)
+    t = lambda *s: torch.tensor(rs.randn(*s).astype(np.float32) * 0.2)
+    sd = _sd_tiny_ae()
+    # KL -> VQ re-shaping: single-z conv_out, embed-dim quant convs, codebook
+    sd["encoder.conv_out.weight"] = t(ZC, 2 * CH, 3, 3)
+    sd["encoder.conv_out.bias"] = t(ZC)
+    sd["quant_conv.weight"], sd["quant_conv.bias"] = t(EMB, ZC, 1, 1), t(EMB)
+    sd["post_quant_conv.weight"] = t(ZC, EMB, 1, 1)
+    sd["quantize.embedding.weight"] = t(16, EMB)
+    params = convert_ldm_autoencoder(sd)
+    assert params["quantize"]["codebook"].shape == (16, EMB)
+    vq = VQModel(embed_dim=EMB, n_embed=16, ch=CH, ch_mult=MULT,
+                 num_res_blocks=NRB, attn_resolutions=(8,), z_channels=ZC,
+                 in_channels=1, out_ch=1, dims=2, resolution=RES)
+    template = vq.init(jax.random.key(0), jnp.zeros((1, RES, RES, 1)))
+    restored = flax.serialization.from_state_dict(template, {"params": params})
+    rec, qloss, idx = vq.apply(restored, jnp.ones((1, RES, RES, 1)))
+    assert rec.shape == (1, RES, RES, 1) and np.isfinite(float(qloss))
 
 
 @pytest.mark.slow
