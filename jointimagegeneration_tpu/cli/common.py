@@ -100,11 +100,12 @@ def load_ae_params(module: AutoencoderKL, section: Optional[dict], size: int,
     from ..core.checkpoint import CheckpointManager
 
     def fresh():
-        return module.init(
-            jax.random.key(key_seed),
-            jnp.zeros((1, size, size, module.in_channels)),
-            jax.random.key(key_seed + 1),
-        )
+        from ..models.autoencoder import VQModel
+
+        x = jnp.zeros((1, size, size, module.in_channels))
+        if isinstance(module, VQModel):
+            return module.init(jax.random.key(key_seed), x)
+        return module.init(jax.random.key(key_seed), x, jax.random.key(key_seed + 1))
 
     ck = (section or {}).get("checkpoint")
     if ck:
@@ -190,9 +191,29 @@ def feature_cond(feat_fn, feat_idx, cond):
 
 
 def build_autoencoder(m: dict) -> AutoencoderKL:
-    """AutoencoderKL from a model-config section (embed_dim + ddconfig keys
-    mirroring the reference yaml, ruijin-ldm_from_controlnet_ae.yaml:41-66)."""
+    """First-stage AE from a model-config section (embed_dim + ddconfig keys
+    mirroring the reference yaml, ruijin-ldm_from_controlnet_ae.yaml:41-66).
+    `type: vq` builds the VQGAN variant instead (same key as cli.train_ae);
+    as an LDM first stage it gets VQModelInterface semantics — diffusion in
+    the pre-quant latent, decode through the codebook (autoencoder.py:283-301)."""
     dd = m.get("ddconfig", {})
+    if m.get("type", "kl") == "vq":
+        from ..models.autoencoder import VQModel
+
+        return VQModel(
+            embed_dim=m.get("embed_dim", 4),
+            n_embed=m.get("n_embed", 8192),
+            ch=dd.get("ch", 128),
+            ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+            num_res_blocks=dd.get("num_res_blocks", 2),
+            attn_resolutions=tuple(dd.get("attn_resolutions", ())),
+            z_channels=dd.get("z_channels", 4),
+            in_channels=dd.get("in_channels", 1),
+            out_ch=dd.get("out_ch", 1),
+            dims=dd.get("dims", 2),
+            dropout=dd.get("dropout", 0.0),
+            resolution=dd.get("resolution", 512),
+        )
     return AutoencoderKL(
         embed_dim=m.get("embed_dim", 4),
         ch=dd.get("ch", 128),

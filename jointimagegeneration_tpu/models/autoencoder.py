@@ -130,12 +130,33 @@ class VQModel(nn.Module):
         self.post_quant_conv = _conv(self.z_channels, 1, self.dims, name="post_quant_conv")
         self.quantize = VectorQuantizer(n_embed=self.n_embed, embed_dim=self.embed_dim)
 
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (len(self.ch_mult) - 1)
+
     def encode(self, x: jnp.ndarray, *, deterministic: bool = True):
         h = self.quant_conv(self.encoder(x, deterministic=deterministic))
         return self.quantize(h)
 
     def decode(self, zq: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         return self.decoder(self.post_quant_conv(zq), deterministic=deterministic)
+
+    # -- VQModelInterface semantics (reference autoencoder.py:283-301) --------
+    # When a VQ model serves as an LDM first stage, the diffusion runs in
+    # the CONTINUOUS pre-quantization latent: encode stops before the
+    # codebook lookup and decode routes through it.
+
+    def encode_prequant(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        """x -> pre-quant h (VQModelInterface.encode, autoencoder.py:288-291)."""
+        return self.quant_conv(self.encoder(x, deterministic=deterministic))
+
+    def decode_prequant(
+        self, h: jnp.ndarray, force_not_quantize: bool = False, *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """pre-quant h -> image through the codebook
+        (VQModelInterface.decode, autoencoder.py:293-301)."""
+        zq = h if force_not_quantize else self.quantize(h)[0]
+        return self.decode(zq, deterministic=deterministic)
 
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
         zq, qloss, idx = self.encode(x, deterministic=deterministic)

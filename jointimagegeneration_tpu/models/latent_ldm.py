@@ -23,10 +23,30 @@ import jax.numpy as jnp
 from ..diffusion.ddim import DDIMParams
 from ..diffusion.gaussian import GaussianDiffusion
 from ..nn.unet import UNet
-from .autoencoder import AutoencoderKL
+from .autoencoder import AutoencoderKL, VQModel
 from .slice_ldm import SliceLDM
 
 __all__ = ["LatentSliceLDM"]
+
+
+def _stage_encode(stage, params, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """First-stage encode for either AE family: KL posterior sample/mode
+    (ddpm.py:718-741), or the continuous PRE-quant latent for a VQ stage
+    (VQModelInterface.encode, autoencoder.py:288-291 — the diffusion space
+    of a VQ-first-stage LDM is h before the codebook)."""
+    if isinstance(stage, VQModel):
+        return stage.apply(params, x, method=stage.encode_prequant)
+    posterior = stage.apply(params, x, method=stage.encode)
+    return posterior.sample(key) if key is not None else posterior.mode()
+
+
+def _stage_decode(stage, params, z: jnp.ndarray) -> jnp.ndarray:
+    """First-stage decode: plain for KL; THROUGH the codebook for VQ
+    (decode_first_stage routes VQModelInterface.decode with
+    force_not_quantize=False, ddpm.py:744-767 + autoencoder.py:293-301)."""
+    if isinstance(stage, VQModel):
+        return stage.apply(params, z, method=stage.decode_prequant)
+    return stage.apply(params, z, method=stage.decode)
 
 
 @dataclass(frozen=True)
@@ -40,15 +60,15 @@ class LatentSliceLDM:
     4 + 4); when None, conditions are assumed pre-encoded."""
 
     inner: SliceLDM
-    first_stage: AutoencoderKL
-    cond_stage: Optional[AutoencoderKL] = None
+    first_stage: "AutoencoderKL | VQModel"
+    cond_stage: "Optional[AutoencoderKL | VQModel]" = None
     scale_factor: float = 1.0
 
     @classmethod
     def create(
         cls,
-        first_stage: AutoencoderKL,
-        cond_stage: Optional[AutoencoderKL] = None,
+        first_stage: "AutoencoderKL | VQModel",
+        cond_stage: "Optional[AutoencoderKL | VQModel]" = None,
         scale_factor: float = 1.0,
         **ldm_kwargs,
     ) -> "LatentSliceLDM":
@@ -64,13 +84,12 @@ class LatentSliceLDM:
     # -- first stage (frozen) ---------------------------------------------
 
     def encode(self, ae_params, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
-        """x -> scaled latent (mode unless key given; ddpm.py:718-741)."""
-        posterior = self.first_stage.apply(ae_params, x, method=self.first_stage.encode)
-        z = posterior.sample(key) if key is not None else posterior.mode()
-        return self.scale_factor * z
+        """x -> scaled latent (KL: mode unless key given, ddpm.py:718-741;
+        VQ: pre-quant h, VQModelInterface semantics)."""
+        return self.scale_factor * _stage_encode(self.first_stage, ae_params, x, key)
 
     def decode(self, ae_params, z: jnp.ndarray) -> jnp.ndarray:
-        return self.first_stage.apply(ae_params, z / self.scale_factor, method=self.first_stage.decode)
+        return _stage_decode(self.first_stage, ae_params, z / self.scale_factor)
 
     def encode_cond(self, cond_ae_params, cond: jnp.ndarray) -> jnp.ndarray:
         """Pixel-space condition -> cond latent via the cond-stage AE
@@ -78,7 +97,7 @@ class LatentSliceLDM:
         ddpm.py:556-568; NOT rescaled by scale_factor, which applies only
         to the diffusion latent)."""
         stage = self.cond_stage or self.first_stage
-        return stage.apply(cond_ae_params, cond, method=stage.encode).mode()
+        return _stage_encode(stage, cond_ae_params, cond)
 
     # -- tiled first stage (fold/unfold big-image inference) -----------------
 
@@ -88,7 +107,7 @@ class LatentSliceLDM:
         from ..ops.tiling import tiled_apply
 
         f = self.first_stage.downsample_factor
-        fn = lambda tile: self.first_stage.apply(ae_params, tile, method=self.first_stage.encode).mode()
+        fn = lambda tile: _stage_encode(self.first_stage, ae_params, tile)
         z = tiled_apply(fn, x, patch, stride, out_channels=self.first_stage.embed_dim, out_scale=1.0 / f)
         return self.scale_factor * z
 
@@ -97,16 +116,33 @@ class LatentSliceLDM:
         from ..ops.tiling import tiled_apply
 
         f = self.first_stage.downsample_factor
-        fn = lambda tile: self.first_stage.apply(ae_params, tile, method=self.first_stage.decode)
+        fn = lambda tile: _stage_decode(self.first_stage, ae_params, tile)
         return tiled_apply(
             fn, z / self.scale_factor, patch, stride,
             out_channels=self.first_stage.out_ch, out_scale=float(f),
         )
 
+    def make_quantize_fn(self, ae_params):
+        """quantize_denoised hook for the ancestral samplers: with a VQ
+        first stage, snap each pred_x0 to the codebook before the posterior
+        (p_sample's quantize_denoised, ddpm.py:1092-1106).  None for KL
+        stages.  Unlike the reference — which quantizes the SCALED latent
+        directly — this unscales → quantizes → rescales, so the codebook
+        sees the space it was trained in."""
+        if not isinstance(self.first_stage, VQModel):
+            return None
+
+        def fn(x0):
+            h = x0 / self.scale_factor
+            zq = self.first_stage.apply(ae_params, h, method=lambda m, hh: m.quantize(hh)[0])
+            return self.scale_factor * zq
+
+        return fn
+
     def calibrate_scale_factor(self, ae_params, batch_x: jnp.ndarray) -> "LatentSliceLDM":
         """scale_by_std: scale_factor = 1/std of the encoded batch
         (ddpm.py:484-499), returning a recalibrated model."""
-        z = self.first_stage.apply(ae_params, batch_x, method=self.first_stage.encode).mode()
+        z = _stage_encode(self.first_stage, ae_params, batch_x)
         return replace(self, scale_factor=float(1.0 / jnp.std(z)))
 
     # -- training loss ------------------------------------------------------
