@@ -160,15 +160,17 @@ def main(argv=None):
             if logger:
                 logger.scalars(step, {"loss_simple": val_loss}, prefix="val/")
             return -val_loss
-        panels = model.log_images(state.ema_params, jax.random.key(step), batch, log_ddim)
+        panels = model.log_images(state.ema_params, jax.random.key(step), batch, log_ddim,
+                                  progressive=bool(cfg.get("log_progressive", False)))
         if logger:
             from ..eval.writers import image_volume_to_grid
 
             for name in ("inputs", "samples", "inpaint", "outpaint"):
                 logger.image(step, f"val/{name}", image_volume_to_grid(panels[name][..., 0]))
-            logger.image(
-                step, "val/denoise_row", image_volume_to_grid(panels["denoise_row"][:, 0, ..., 0])
-            )
+            for row in ("denoise_row", "progressive_row"):
+                if row in panels:
+                    logger.image(step, f"val/{row}",
+                                 image_volume_to_grid(panels[row][:, 0, ..., 0]))
         # val loss on the logged batch (monitor val/loss_simple parity)
         diff = model.diffusion
         t = jnp.full((batch["image"].shape[0],), diff.num_timesteps // 2, jnp.int32)

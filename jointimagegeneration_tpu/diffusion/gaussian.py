@@ -118,14 +118,19 @@ class GaussianDiffusion:
         log_var = _bcast(self.posterior_log_variance_clipped, t, x_t.ndim)
         return mean, var, log_var
 
-    def p_mean_variance(self, model_out: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray, clip_denoised: bool = True):
+    def predict_x0(self, model_out: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray, clip_denoised: bool = True) -> jnp.ndarray:
+        """Model output at (x, t) -> x0 estimate under the configured
+        parameterization (the x_recon of p_mean_variance, ddpm.py:322-332)."""
         if self.parameterization == "eps":
             x_recon = self.predict_start_from_noise(x, t, model_out)
         else:
             x_recon = model_out
         if clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
-        return self.q_posterior(x_recon, x, t)
+        return x_recon
+
+    def p_mean_variance(self, model_out: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray, clip_denoised: bool = True):
+        return self.q_posterior(self.predict_x0(model_out, x, t, clip_denoised), x, t)
 
     def p_sample(self, key: jax.Array, model_out: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray, clip_denoised: bool = True):
         """Ancestral step given the model output at (x, t) (ddpm.py:334-345)."""

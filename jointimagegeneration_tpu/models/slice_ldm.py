@@ -214,6 +214,76 @@ class SliceLDM:
             return x, inter  # inter: (S, B, H, W, C) pred_x0 trajectory
         return x
 
+    # -- full-T ancestral sampling, scan-compiled ------------------------------
+
+    def _ancestral_loop(self, params, key, cond, *, context=None, y=None,
+                        x_T=None, clip_denoised=True, n_rows=0,
+                        collect="x0", quantize_fn=None):
+        """One lax.scan over t = T-1…0 of the ancestral chain
+        (DDPM.p_sample_loop / LatentDiffusion.p_sample_loop,
+        ddpm.py:254-269, 1179-1230), optionally collecting `n_rows`
+        evenly-spaced intermediates into a fixed-size device buffer
+        (dynamic_update_slice — no per-step host appends like the
+        reference's Python list).  `collect` picks the row content: 'x0'
+        (pred_x0 — progressive_denoising, ddpm.py:1123-1177) or 'x' (the
+        walking sample — p_sample_loop intermediates).  `quantize_fn`
+        maps pred_x0 through a quantizer before the posterior (the
+        quantize_denoised hook of p_sample, ddpm.py:1092-1106)."""
+        b, h, w, _ = cond.shape
+        T = self.diffusion.num_timesteps
+        if x_T is None:
+            key, sub = jax.random.split(key)
+            x_T = jax.random.normal(sub, (b, h, w, self.channels))
+        every = max(1, T // n_rows) if n_rows else T + 1
+        n_buf = (T + every - 1) // every if n_rows else 1
+        buf = jnp.zeros((n_buf, b, h, w, self.channels), x_T.dtype)
+
+        def body(carry, t):
+            x, k, rows = carry
+            k, sub = jax.random.split(k)
+            t_b = jnp.full((b,), t, jnp.int32)
+            out = self.apply_model(params, x, t_b, cond=cond, context=context, y=y)
+            x0 = self.diffusion.predict_x0(out.astype(x.dtype), x, t_b, clip_denoised)
+            if quantize_fn is not None:
+                x0 = quantize_fn(x0)
+            mean, _, log_var = self.diffusion.q_posterior(x0, x, t_b)
+            noise = jax.random.normal(sub, x.shape, x.dtype)
+            nonzero = (t > 0).astype(x.dtype)
+            x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+            if n_rows:
+                idx = t // every
+                cur = jax.lax.dynamic_slice_in_dim(rows, idx, 1, 0)[0]
+                val = x0 if collect == "x0" else x_next
+                new = jnp.where(t % every == 0, val, cur)
+                rows = jax.lax.dynamic_update_slice_in_dim(rows, new[None], idx, 0)
+            return (x_next, k, rows), None
+
+        ts = jnp.arange(T - 1, -1, -1)
+        (x, _, buf), _ = jax.lax.scan(body, (x_T, key, buf), ts)
+        return (x, buf[::-1]) if n_rows else (x, None)  # rows in sampling order (t high → low)
+
+    def p_sample_loop(self, params, key, cond, *, context=None, y=None, x_T=None,
+                      clip_denoised=True, return_intermediates=False, n_rows=6,
+                      quantize_fn=None):
+        """Full-T ancestral sampler (ddpm.py:254-269 / 1179-1230); with
+        `return_intermediates`, also the walking sample at ~n_rows levels."""
+        x, rows = self._ancestral_loop(
+            params, key, cond, context=context, y=y, x_T=x_T,
+            clip_denoised=clip_denoised, n_rows=n_rows if return_intermediates else 0,
+            collect="x", quantize_fn=quantize_fn)
+        return (x, rows) if return_intermediates else x
+
+    def progressive_denoising(self, params, key, cond, *, context=None, y=None,
+                              x_T=None, clip_denoised=True, n_rows=6,
+                              quantize_fn=None):
+        """(sample, pred_x0 progression) over the full ancestral chain —
+        LatentDiffusion.progressive_denoising (ddpm.py:1123-1177), feeding
+        log_images' progressive_row panel (ddpm.py:1358-1365)."""
+        return self._ancestral_loop(
+            params, key, cond, context=context, y=y, x_T=x_T,
+            clip_denoised=clip_denoised, n_rows=n_rows, collect="x0",
+            quantize_fn=quantize_fn)
+
     def sample_slice_plms(
         self,
         params,
@@ -236,18 +306,22 @@ class SliceLDM:
 
         return plms_sample_loop(eps_fn, ddim, x_T)
 
-    def log_images(self, params, key: jax.Array, batch: dict, ddim: DDIMParams, n_row: int = 4) -> dict:
+    def log_images(self, params, key: jax.Array, batch: dict, ddim: DDIMParams, n_row: int = 4,
+                   progressive: bool = False) -> dict:
         """Qualitative logging dict (LatentDiffusion.log_images,
         ddpm.py:1263-1372 / ImageLogger main.py:419-449): inputs,
         reconstruction-free samples, a denoise-progression row, and
         inpainting / outpainting panels (left half kept / regenerated —
-        the mask and its complement, ddpm.py:1345-1358)."""
+        the mask and its complement, ddpm.py:1345-1358).  `progressive`
+        adds the full-T pred_x0 progression (plot_progressive_rows →
+        progressive_denoising, ddpm.py:1358-1365) — one extra ancestral
+        chain, so off by default."""
         import numpy as np
 
         x = batch["image"][:n_row]
         cond = batch.get("cond")
         cond = cond[:n_row] if cond is not None else jnp.zeros(x.shape[:-1] + (self.cond_channels,))
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         samples, inter = self.sample_slice(params, k1, cond, ddim, return_intermediates=True)
         every = max(1, inter.shape[0] // 6)
         denoise_row = inter[::every]  # (R, B, H, W, C)
@@ -264,7 +338,7 @@ class SliceLDM:
                 x, jnp.full((x.shape[0],), t, jnp.int32),
                 jax.random.normal(k, x.shape, x.dtype))
         )(ts, jax.random.split(k4, ts.shape[0]))  # (R, B, H, W, C)
-        return {
+        out = {
             "inputs": np.asarray(x),
             "samples": np.asarray(samples),
             "denoise_row": np.asarray(denoise_row),
@@ -273,6 +347,10 @@ class SliceLDM:
             "outpaint": np.asarray(outpaint),
             "conditioning": np.asarray(cond),
         }
+        if progressive:
+            _, prog = self.progressive_denoising(params, k5, cond, n_rows=6)
+            out["progressive_row"] = np.asarray(prog)  # (R, B, H, W, C)
+        return out
 
     # -- autoregressive volume, both loops fused ------------------------------
 

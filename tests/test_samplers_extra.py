@@ -89,3 +89,45 @@ def test_fvd_identical_zero_and_shifted_positive():
 def test_downsample_feature_deterministic():
     v = np.random.default_rng(1).random((8, 16, 16)).astype(np.float32)
     np.testing.assert_array_equal(downsample_feature_fn(v), downsample_feature_fn(v))
+
+
+@pytest.mark.slow
+def test_ancestral_p_sample_loop_and_progressive():
+    """Full-T ancestral sampling as one scan (DDPM.p_sample_loop,
+    ddpm.py:254-269/1179-1230) and the pred_x0 progression
+    (progressive_denoising, ddpm.py:1123-1177): intermediates collection
+    must not perturb the chain, the t=0 row must equal the final sample,
+    and log_images(progressive=True) must expose the panel."""
+    from jointimagegeneration_tpu.models import SliceLDM
+
+    ldm = SliceLDM.create(
+        image_channels=1, cond_channels=2, timesteps=8, model_channels=8,
+        channel_mult=(1, 2), attention_resolutions=(), num_res_blocks=1,
+        num_head_channels=4, dtype=jnp.float32)
+    params = ldm.init_params(jax.random.key(0), 16)
+    cond = jnp.zeros((1, 16, 16, 2))
+
+    x = ldm.p_sample_loop(params, jax.random.key(1), cond)
+    assert x.shape == (1, 16, 16, 1) and np.isfinite(np.asarray(x)).all()
+
+    x2, rows = ldm.p_sample_loop(params, jax.random.key(1), cond,
+                                 return_intermediates=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2), rtol=1e-6)
+    assert rows.shape == (8, 1, 16, 16, 1)  # T=8, n_rows=6 → every=1
+    # rows are in sampling order: the last row is the t=0 step = the sample
+    np.testing.assert_allclose(np.asarray(rows[-1]), np.asarray(x2), rtol=1e-6)
+
+    x3, prog = ldm.progressive_denoising(params, jax.random.key(1), cond)
+    assert prog.shape == (8, 1, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x2), rtol=1e-6)
+    # pred_x0 rows are clipped by clip_denoised and differ from the raw chain
+    assert np.abs(np.asarray(prog)).max() <= 1.0 + 1e-6
+    # noisiest row first: the early pred_x0 differs from the final one
+    assert not np.allclose(np.asarray(prog[0]), np.asarray(prog[-1]))
+
+    panels = ldm.log_images(
+        params, jax.random.key(2),
+        {"image": jnp.zeros((1, 16, 16, 1)), "cond": cond},
+        DDIMParams.create(ldm.diffusion, 2), progressive=True)
+    assert panels["progressive_row"].shape[0] == 8
+    assert np.isfinite(panels["progressive_row"]).all()
