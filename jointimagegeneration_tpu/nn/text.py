@@ -25,7 +25,11 @@ from flax import linen as nn
 
 from .transformer import BasicTransformerBlock
 
-__all__ = ["TextFeatureRefiner", "FrozenBERTEmbedder", "IdentityEncoder", "TransformerTextEncoder", "ClassEmbedder"]
+__all__ = [
+    "TextFeatureRefiner", "FrozenBERTEmbedder", "IdentityEncoder",
+    "TransformerTextEncoder", "ClassEmbedder", "HybridConditioner",
+    "SpatialRescaler",
+]
 
 
 class TextFeatureRefiner(nn.Module):
@@ -85,6 +89,48 @@ class ClassEmbedder(nn.Module):
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
         return nn.Embed(self.n_classes, self.embed_dim, name="embedding")(y)[:, None, :]
+
+
+class HybridConditioner(nn.Module):
+    """Pairs a concat-conditioner with a crossattn-conditioner for the
+    UNet's hybrid mode (diffusionmodules/util.py:251-261): the two raw
+    conditions run through their own encoders and come back as the
+    {c_concat, c_crossattn} pair DiffusionWrapper-hybrid consumes
+    (ddpm.py:1421-1425 — here: SliceLDM.apply_model(cond=…, context=…))."""
+
+    concat_conditioner: nn.Module
+    crossattn_conditioner: nn.Module
+
+    def __call__(self, c_concat: jnp.ndarray, c_crossattn: jnp.ndarray) -> dict:
+        return {
+            "c_concat": self.concat_conditioner(c_concat),
+            "c_crossattn": self.crossattn_conditioner(c_crossattn),
+        }
+
+
+class SpatialRescaler(nn.Module):
+    """Downscale a spatial condition n_stages times by `multiplier`, with
+    an optional 1×1 channel remap (ldm/modules/encoders/modules.py
+    SpatialRescaler) — used when a pixel-space condition must match a
+    latent-space UNet input grid.  NHWC; `method` is any jax.image mode."""
+
+    n_stages: int = 1
+    multiplier: float = 0.5
+    method: str = "bilinear"
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        for _ in range(self.n_stages):
+            b, h, w, c = x.shape
+            x = jax.image.resize(
+                x, (b, max(1, int(h * self.multiplier)), max(1, int(w * self.multiplier)), c),
+                method=self.method)
+        if self.out_channels is not None:
+            x = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="channel_mapper")(x)
+        return x
 
 
 class IdentityEncoder:
