@@ -206,18 +206,25 @@ class MaskSampler:
             key, sub = jax.random.split(key)
             x_init = sample_one_hot(sub, jnp.full((*shape, self.num_classes), 1.0 / self.num_classes))
 
+        # The scan carries integer labels (4 B/voxel) instead of the f32
+        # one-hot (48 B/voxel) and re-one-hots inside the body — bit-identical
+        # because denoise_step always emits exact one-hots (sampled draw or
+        # argmax decode), and measured +1.4% on the flagship chain by cutting
+        # the while-loop carry traffic (BENCH_NOTES round 3, carry probe).
         def body(carry, t):
-            xt, k = carry
+            lab, k = carry
             k, sub = jax.random.split(k)
+            xt = jax.nn.one_hot(lab, self.num_classes, dtype=jnp.float32)
             t_b = jnp.full((b,), t, jnp.int32)
             xt = self.denoise_step(
                 params, sub, xt, t_b, cond=cond, context=context,
                 feature_cond=feature_cond, guidance_fn=guidance_fn,
             )
-            return (xt, k), None
+            return (jnp.argmax(xt, axis=-1).astype(jnp.int32), k), None
 
-        (x, _), _ = jax.lax.scan(body, (x_init, key), t_values)
-        return x
+        lab0 = jnp.argmax(x_init, axis=-1).astype(jnp.int32)
+        (lab, _), _ = jax.lax.scan(body, (lab0, key), t_values)
+        return jax.nn.one_hot(lab, self.num_classes, dtype=x_init.dtype)
 
     def sample_labels(self, params, key, shape, **kw) -> jnp.ndarray:
         """Integer label volume (B, D, H, W) — the stage-1→2 contract."""
