@@ -234,6 +234,10 @@ def main(argv=None):
                 ae_params=ae_params if latent is not None else None,
                 cond_ae_params=cond_ae_params if latent is not None else None,
                 guidance_scale=float(cfg.get("guidance_scale", s2.get("guidance_scale", 1.0))),
+                # warm_start: f ∈ (0,1] — SDEdit-style short chain per slice
+                # after the first, seeded from the previous slice (beyond-
+                # reference speed knob; see SliceLDM.sample_volume)
+                warm_start=cfg.get("warm_start", s2.get("warm_start")),
             )
             for j in range(min(bs, n_cases - c0)):
                 cdir = outdir / f"case_{c0 + j:04d}"
@@ -271,6 +275,7 @@ def main(argv=None):
                     ldm_params, ae_params, sub, mask, ddim, cond_ae_params=cond_ae_params,
                     guidance_scale=float(cfg.get("guidance_scale",
                                                  s2.get("guidance_scale", 1.0))),
+                    warm_start=cfg.get("warm_start", s2.get("warm_start")),
                 )
                 vol = np.asarray(vol[0, ..., 0])
             elif cfg.get("sampler", "ddim") == "plms" and "cond" in item:
@@ -287,7 +292,8 @@ def main(argv=None):
                 # classifier-free guidance (reference CFG branch, ddim.py:172-179)
                 gs = float(cfg.get("guidance_scale", s2.get("guidance_scale", 1.0)))
                 vol = ldm.sample_volume(ldm_params, sub, mask, ddim, tile=tile,
-                                        guidance_scale=gs)
+                                        guidance_scale=gs,
+                                        warm_start=cfg.get("warm_start", s2.get("warm_start")))
                 vol = np.asarray(vol[0, ..., 0])
             save_image_volume(case_dir / "image.nii.gz", vol)
             save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))

@@ -10,7 +10,8 @@ batching is the mesh's job, not the server's.
     python -m jointimagegeneration_tpu.cli.serve <config.yml> [port]
 
 POST /generate {"kind": "mask"|"two_stage", "seed": int, "batch": int?,
-                "mask_steps": int?, "stream": bool?}
+                "mask_steps": int?, "stream": bool?, "guidance_scale": float?,
+                "warm_start": float?}
   -> {"labels_nifti_b64"| "ct_nifti_b64", "class_counts", "elapsed_s"}
   `batch: N` generates N volumes in one jitted call, one volume per
   data-axis mesh slot when multiple devices exist.  `stream: true` on
@@ -88,7 +89,8 @@ def make_handler(state: dict):
             pass
 
         def _stream_two_stage(self, state, msp, lp, key, bs, cond, mask_steps, t0,
-                              guidance_scale=1.0, ae_params=None, cond_ae_params=None):
+                              guidance_scale=1.0, ae_params=None, cond_ae_params=None,
+                              warm_start=None):
             """NDJSON streaming: the mask volume first, then one line per
             generated CT slice AS the autoregressive z-loop produces it
             (stream_volume host generator), then a summary line.  HTTP/1.0
@@ -122,11 +124,12 @@ def make_handler(state: dict):
                 if isinstance(state["ldm"], LatentSliceLDM):
                     gen = state["ldm"].stream_volume(
                         lp, ae_params, k2, mask_channel, state["ddim"],
-                        cond_ae_params=cond_ae_params, guidance_scale=guidance_scale)
+                        cond_ae_params=cond_ae_params, guidance_scale=guidance_scale,
+                        warm_start=warm_start)
                 else:
                     gen = state["ldm"].stream_volume(
                         lp, k2, mask_channel, state["ddim"],
-                        guidance_scale=guidance_scale)
+                        guidance_scale=guidance_scale, warm_start=warm_start)
                 for z, s in enumerate(gen):
                     arr = np.asarray(s).astype(np.float16)  # (B, H, W, C)
                     line({"slice": z, "shape": list(arr.shape), "dtype": "float16",
@@ -201,10 +204,15 @@ def make_handler(state: dict):
                         cond = shard_batch(mesh, cond)
                     steps = int(req.get("mask_steps", state["mask_steps"]))
                     gs = float(req.get("guidance_scale", 1.0))
+                    # "warm_start": f ∈ (0,1] runs only the last f-fraction
+                    # of DDIM steps per slice after the first, seeded from
+                    # the previous slice (SliceLDM.sample_volume docstring)
+                    ws = req.get("warm_start")
+                    ws = float(ws) if ws is not None else None
                     if req.get("stream"):
                         self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0,
                                                guidance_scale=gs, ae_params=aep,
-                                               cond_ae_params=caep)
+                                               cond_ae_params=caep, warm_start=ws)
                         return
                     fc = feature_cond(state.get("feat_fn"), state.get("feat_idx"), cond)
                     ct, labels = pipe(
@@ -212,6 +220,7 @@ def make_handler(state: dict):
                         mask_shape=(bs, *state["spatial"]), volume_shape=state["volume_shape"],
                         ddim=state["ddim"], mask_steps=steps, cond=cond, feature_cond=fc,
                         guidance_scale=gs, ae_params=aep, cond_ae_params=caep,
+                        warm_start=ws,
                     )
                     ct, labels = np.asarray(ct), np.asarray(labels)
                     resp = {

@@ -196,6 +196,7 @@ class LatentSliceLDM:
         context: Optional[jnp.ndarray] = None,
         init_slice: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
+        warm_start: Optional[float] = None,
     ) -> jnp.ndarray:
         """Latent-space equivalent of SliceLDM.sample_volume — the
         reference's sample_cond drive with a first stage
@@ -205,7 +206,13 @@ class LatentSliceLDM:
         decoded by the first stage and min-max normalised
         (sample_diffusion.py:221-222) before becoming the next condition.
         Whole volume = one lax.scan program; a CFG scale rides the carry
-        as a traced input (one program for all scale values)."""
+        as a traced input (one program for all scale values).
+
+        `warm_start=f` ∈ (0, 1] (beyond-reference): slice z>0 starts its
+        DDIM chain in LATENT space from the previous slice's raw latent
+        noised to the round(f·S)-th subset level and runs only those last
+        steps (SliceLDM.sample_volume docstring); per-slice cost ~f of the
+        full chain.  Default None = exact reference semantics."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
@@ -213,30 +220,61 @@ class LatentSliceLDM:
             cond_ae_params = ae_params
         use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
         gs = jnp.asarray(guidance_scale, jnp.float32) if use_cfg else None
+        warm = SliceLDM.warm_start_index(ddim, warm_start)
+        mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)
+
+        if warm is None:
+            def body(carry, mask_slice):
+                if use_cfg:
+                    prev, k, gs_c = carry
+                else:
+                    (prev, k), gs_c = carry, 1.0
+                k, sub = jax.random.split(k)
+                s, _ = self._volume_slice_step(params, ae_params, cond_ae_params,
+                                               prev, mask_slice, sub, ddim, context=context,
+                                               guidance_scale=gs_c)
+                return ((s, k, gs_c) if use_cfg else (s, k)), s
+
+            init = (init_slice, key, gs) if use_cfg else (init_slice, key)
+            _, slices = jax.lax.scan(body, init, mask_zfirst)
+            return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
+
+        # warm-start path: slice 0 full chain, slices 1… carry the previous
+        # RAW latent and run the short chain from its q-noised version
+        key, k0 = jax.random.split(key)
+        s0, zraw0 = self._volume_slice_step(params, ae_params, cond_ae_params,
+                                            init_slice, mask_zfirst[0], k0, ddim,
+                                            context=context,
+                                            guidance_scale=gs if use_cfg else 1.0)
 
         def body(carry, mask_slice):
             if use_cfg:
-                prev, k, gs_c = carry
+                prev, zraw, k, gs_c = carry
             else:
-                (prev, k), gs_c = carry, 1.0
+                (prev, zraw, k), gs_c = carry, 1.0
             k, sub = jax.random.split(k)
-            s = self._volume_slice_step(params, ae_params, cond_ae_params,
-                                        prev, mask_slice, sub, ddim, context=context,
-                                        guidance_scale=gs_c)
-            return ((s, k, gs_c) if use_cfg else (s, k)), s
+            s, zr = self._volume_slice_step(params, ae_params, cond_ae_params,
+                                            prev, mask_slice, sub, ddim, context=context,
+                                            guidance_scale=gs_c,
+                                            prev_raw=zraw, warm_index=warm)
+            return ((s, zr, k, gs_c) if use_cfg else (s, zr, k)), s
 
-        mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)
-        init = (init_slice, key, gs) if use_cfg else (init_slice, key)
-        _, slices = jax.lax.scan(body, init, mask_zfirst)
+        init = (s0, zraw0, key, gs) if use_cfg else (s0, zraw0, key)
+        _, slices = jax.lax.scan(body, init, mask_zfirst[1:])
+        slices = jnp.concatenate([s0[None], slices], axis=0)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
 
     def _volume_slice_step(self, params, ae_params, cond_ae_params,
                            prev, mask_slice, k, ddim, context=None,
-                           guidance_scale=1.0):
+                           guidance_scale=1.0, prev_raw=None,
+                           warm_index: Optional[int] = None):
         """One latent-path z-step (cond-stage encode → latent DDIM chain →
         first-stage decode → per-slice min-max normalisation,
         sample_diffusion.py:221-222) — shared by sample_volume's scan body
-        and stream_volume.
+        and stream_volume.  Returns (normalised pixel slice, RAW latent) —
+        the raw latent is the warm-start x0 guess for the next slice; with
+        `warm_index=k` and `prev_raw` (a latent) given, the chain starts at
+        index k-1 from the q-noised prev_raw.
 
         With CFG on, the unconditional branch uses the ENCODING of the
         zeroed pixel condition (what "no condition" means in pixel space),
@@ -251,13 +289,21 @@ class LatentSliceLDM:
             # loop-invariant: XLA hoists this single encode out of the
             # inner DDIM scan
             uncond_z = self.encode_cond(cond_ae_params, jnp.zeros_like(cond_pix))
+        x_T = start = None
+        if warm_index is not None and prev_raw is not None:
+            k, ke = jax.random.split(k)
+            a = ddim.alphas[warm_index - 1]
+            eps = jax.random.normal(ke, prev_raw.shape, prev_raw.dtype)
+            x_T = jnp.sqrt(a) * prev_raw + jnp.sqrt(1.0 - a) * eps
+            start = warm_index
         z = self.inner.sample_slice(params, k, cond_z, ddim, context=context,
                                     guidance_scale=guidance_scale,
-                                    uncond_cond=uncond_z)
+                                    uncond_cond=uncond_z,
+                                    x_T=x_T, start_index=start)
         s = self.decode(ae_params, z)
         lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
         hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-        return (s - lo) / jnp.maximum(hi - lo, 1e-8)
+        return (s - lo) / jnp.maximum(hi - lo, 1e-8), z
 
     def stream_volume(
         self,
@@ -270,34 +316,42 @@ class LatentSliceLDM:
         context: Optional[jnp.ndarray] = None,
         init_slice: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
+        warm_start: Optional[float] = None,
     ):
         """Generator over z yielding each decoded (B, H, W, C) slice —
         latent-path twin of SliceLDM.stream_volume (shared
-        _volume_slice_step; the jitted per-slice program is cached on the
-        instance, keyed by CFG ON/OFF only — the scale itself is a traced
-        argument, so varying it never retraces)."""
+        _volume_slice_step incl. `warm_start`; the jitted per-slice
+        programs are cached on the instance, keyed by CFG ON/OFF and warm
+        index only — the scale itself is a traced argument, so varying it
+        never retraces)."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
         if cond_ae_params is None:
             cond_ae_params = ae_params
         use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
+        warm = SliceLDM.warm_start_index(ddim, warm_start)
 
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
-        one_slice = cache.get(("latent", use_cfg))
-        if one_slice is None:
-            def one_slice(params, ae_params, cond_ae_params, prev, mask_slice, k, ddim,
-                          context, gs):
-                return self._volume_slice_step(params, ae_params, cond_ae_params,
-                                               prev, mask_slice, k, ddim, context=context,
-                                               guidance_scale=gs if use_cfg else 1.0)
 
-            one_slice = cache[("latent", use_cfg)] = jax.jit(one_slice)
+        def get_fn(warm_index):
+            fn = cache.get(("latent", use_cfg, warm_index))
+            if fn is None:
+                def fn(params, ae_params, cond_ae_params, prev, prev_raw, mask_slice,
+                       k, ddim, context, gs):
+                    return self._volume_slice_step(params, ae_params, cond_ae_params,
+                                                   prev, mask_slice, k, ddim, context=context,
+                                                   guidance_scale=gs if use_cfg else 1.0,
+                                                   prev_raw=prev_raw, warm_index=warm_index)
+
+                fn = cache[("latent", use_cfg, warm_index)] = jax.jit(fn)
+            return fn
 
         gs = jnp.asarray(guidance_scale, jnp.float32)
-        prev = init_slice
+        prev, prev_raw = init_slice, None
         for z in range(d):
             key, sub = jax.random.split(key)
-            prev = one_slice(params, ae_params, cond_ae_params, prev,
-                             mask_volume[:, z], sub, ddim, context, gs)
+            fn = get_fn(warm if (warm is not None and z > 0) else None)
+            prev, prev_raw = fn(params, ae_params, cond_ae_params, prev, prev_raw,
+                                mask_volume[:, z], sub, ddim, context, gs)
             yield prev

@@ -134,6 +134,7 @@ class SliceLDM:
         return_intermediates: bool = False,
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,  # (patch, stride)
         uncond_cond: Optional[jnp.ndarray] = None,
+        start_index: Optional[int] = None,
     ):
         """DDIM chain for one slice, scan-compiled.
 
@@ -153,8 +154,19 @@ class SliceLDM:
         border-weighted stitching every diffusion step — the reference's
         apply_model-level fold/unfold for oversized slices
         (ddpm.py:915-997); [x_t | cond] windows move together like the
-        reference's jointly-unfolded z and c patches."""
+        reference's jointly-unfolded z and c patches.
+
+        `start_index=k` (static, 1 ≤ k ≤ num_steps) runs only the LAST k
+        steps of the subset chain (indices k-1 … 0); the caller must then
+        supply `x_T` already at that step's noise level, i.e.
+        x = sqrt(ddim.alphas[k-1])·x0_guess + sqrt(1-ddim.alphas[k-1])·ε.
+        This is the primitive behind the autoregressive `warm_start`
+        option (sample_volume) — beyond-reference; the reference always
+        runs the full subset from pure noise (ddim.py:141-164)."""
         b, h, w, _ = cond.shape
+        n_run = ddim.num_steps if start_index is None else int(start_index)
+        if not 1 <= n_run <= ddim.num_steps:
+            raise ValueError(f"start_index must be in [1, {ddim.num_steps}], got {start_index}")
         if x_T is None:
             key, sub = jax.random.split(key)
             x_T = jax.random.normal(sub, (b, h, w, self.channels))
@@ -207,7 +219,7 @@ class SliceLDM:
             next_carry = (x, k, gs_c) if use_cfg else (x, k)
             return next_carry, (pred_x0 if return_intermediates else None)
 
-        indices = jnp.arange(ddim.num_steps - 1, -1, -1)
+        indices = jnp.arange(n_run - 1, -1, -1)
         init = (x_T, key, gs) if use_cfg else (x_T, key)
         (x, *_), inter = jax.lax.scan(body, init, indices)
         if return_intermediates:
@@ -354,6 +366,21 @@ class SliceLDM:
 
     # -- autoregressive volume, both loops fused ------------------------------
 
+    @staticmethod
+    def warm_start_index(ddim: DDIMParams, warm_start: Optional[float]) -> Optional[int]:
+        """Map a warm-start fraction to the static chain start index.
+
+        `warm_start=f` ∈ (0, 1] means: after the first slice, run only the
+        last round(f·S) DDIM steps per slice, initialised from the previous
+        slice's RAW sample noised to that level (SDEdit-style).  None = the
+        reference behaviour (full chain from pure noise per slice)."""
+        if warm_start is None:
+            return None
+        f = float(warm_start)
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"warm_start must be in (0, 1], got {warm_start}")
+        return max(1, min(ddim.num_steps, int(round(f * ddim.num_steps))))
+
     def sample_volume(
         self,
         params,
@@ -365,47 +392,93 @@ class SliceLDM:
         init_slice: Optional[jnp.ndarray] = None,
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
         guidance_scale: float = 1.0,
+        warm_start: Optional[float] = None,
     ) -> jnp.ndarray:
         """Generate all D slices autoregressively; returns (B, D, H, W, C).
 
         The first slice is conditioned on `init_slice` (zeros by default,
         mirroring sample_cond's zero-initialised volume buffer,
         sample_diffusion.py:196-210).  A CFG scale rides the scan carry as
-        a traced input — one compiled program for all scale values."""
+        a traced input — one compiled program for all scale values.
+
+        `warm_start=f` ∈ (0, 1] is a beyond-reference speed/quality knob:
+        slice z>0 starts its DDIM chain from the previous slice's raw
+        sample noised to the round(f·S)-th subset level and runs only
+        those last steps (adjacent CT slices are highly correlated, so the
+        previous slice is a strong x0 guess — SDEdit truncation).  The
+        per-slice cost drops ~1/f; default None keeps exact reference
+        semantics (full chain from pure noise, sample_diffusion.py:212)."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
         use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
         gs = jnp.asarray(guidance_scale, jnp.float32) if use_cfg else None
+        warm = self.warm_start_index(ddim, warm_start)
+        mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)  # (D, B, H, W, 1)
+
+        if warm is None:
+            def body(carry, mask_slice):
+                if use_cfg:
+                    prev, k, gs_c = carry
+                else:
+                    (prev, k), gs_c = carry, 1.0
+                k, sub = jax.random.split(k)
+                s, _ = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
+                                               context=context, y=y, tile=tile,
+                                               guidance_scale=gs_c)
+                return ((s, k, gs_c) if use_cfg else (s, k)), s
+
+            init = (init_slice, key, gs) if use_cfg else (init_slice, key)
+            _, slices = jax.lax.scan(body, init, mask_zfirst)
+            return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
+
+        # warm-start path: slice 0 runs the full chain (no predecessor);
+        # slices 1… carry the previous RAW sample and run the short chain
+        key, k0 = jax.random.split(key)
+        s0, raw0 = self._volume_slice_step(params, init_slice, mask_zfirst[0], k0, ddim,
+                                           context=context, y=y, tile=tile,
+                                           guidance_scale=gs if use_cfg else 1.0)
 
         def body(carry, mask_slice):
             if use_cfg:
-                prev, k, gs_c = carry
+                prev, praw, k, gs_c = carry
             else:
-                (prev, k), gs_c = carry, 1.0
+                (prev, praw, k), gs_c = carry, 1.0
             k, sub = jax.random.split(k)
-            s = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
-                                        context=context, y=y, tile=tile,
-                                        guidance_scale=gs_c)
-            return ((s, k, gs_c) if use_cfg else (s, k)), s
+            s, raw = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
+                                             context=context, y=y, tile=tile,
+                                             guidance_scale=gs_c,
+                                             prev_raw=praw, warm_index=warm)
+            return ((s, raw, k, gs_c) if use_cfg else (s, raw, k)), s
 
-        mask_zfirst = jnp.moveaxis(mask_volume, 1, 0)  # (D, B, H, W, 1)
-        init = (init_slice, key, gs) if use_cfg else (init_slice, key)
-        _, slices = jax.lax.scan(body, init, mask_zfirst)
+        init = (s0, raw0, key, gs) if use_cfg else (s0, raw0, key)
+        _, slices = jax.lax.scan(body, init, mask_zfirst[1:])
+        slices = jnp.concatenate([s0[None], slices], axis=0)
         return jnp.moveaxis(slices, 0, 1)  # (B, D, H, W, C)
 
     def _volume_slice_step(self, params, prev, mask_slice, k, ddim,
-                           context=None, y=None, tile=None, guidance_scale=1.0):
+                           context=None, y=None, tile=None, guidance_scale=1.0,
+                           prev_raw=None, warm_index: Optional[int] = None):
         """One autoregressive z-step: [prev generated | mask] concat-cond
         DDIM chain + per-slice min-max normalisation
         (sample_diffusion.py:222) — the single definition shared by
-        sample_volume's scan body and stream_volume."""
+        sample_volume's scan body and stream_volume.  Returns
+        (normalised slice, RAW slice) — the raw sample is the x0 guess for
+        the next slice's warm start; with `warm_index=k` and `prev_raw`
+        given, the chain starts at index k-1 from q-sampled prev_raw."""
         cond = jnp.concatenate([prev, mask_slice], axis=-1)
+        x_T = start = None
+        if warm_index is not None and prev_raw is not None:
+            k, ke = jax.random.split(k)
+            a = ddim.alphas[warm_index - 1]
+            eps = jax.random.normal(ke, prev_raw.shape, prev_raw.dtype)
+            x_T = jnp.sqrt(a) * prev_raw + jnp.sqrt(1.0 - a) * eps
+            start = warm_index
         s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile,
-                              guidance_scale=guidance_scale)
+                              guidance_scale=guidance_scale, x_T=x_T, start_index=start)
         lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
         hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-        return (s - lo) / jnp.maximum(hi - lo, 1e-8)
+        return (s - lo) / jnp.maximum(hi - lo, 1e-8), s
 
     def stream_volume(
         self,
@@ -418,34 +491,43 @@ class SliceLDM:
         init_slice: Optional[jnp.ndarray] = None,
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
         guidance_scale: float = 1.0,
+        warm_start: Optional[float] = None,
     ):
         """Generator over z: yields each (B, H, W, C) slice as it is
-        produced.  Same math as `sample_volume` (shared _volume_slice_step)
-        but consumers see slices incrementally — the serving analog of the
-        reference's per-slice debug dump inside sample_cond
-        (sample_diffusion.py:223).  The jitted per-slice program is cached
-        on the instance (keyed by tile and CFG ON/OFF only — the scale
-        itself is a traced argument) so repeated streaming requests, even
-        with varying guidance scales, never retrace."""
+        produced.  Same math as `sample_volume` (shared _volume_slice_step,
+        incl. the `warm_start` short-chain option) but consumers see slices
+        incrementally — the serving analog of the reference's per-slice
+        debug dump inside sample_cond (sample_diffusion.py:223).  The
+        jitted per-slice programs are cached on the instance (keyed by
+        tile, CFG ON/OFF, and warm index only — the scale itself is a
+        traced argument) so repeated streaming requests, even with varying
+        guidance scales, never retrace."""
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
         use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
+        warm = self.warm_start_index(ddim, warm_start)
 
         # frozen dataclass: mutate __dict__ directly for the jit cache
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
-        one_slice = cache.get((tile, use_cfg))
-        if one_slice is None:
-            def one_slice(params, prev, mask_slice, k, ddim, context, y, gs):
-                return self._volume_slice_step(params, prev, mask_slice, k, ddim,
-                                               context=context, y=y, tile=tile,
-                                               guidance_scale=gs if use_cfg else 1.0)
 
-            one_slice = cache[(tile, use_cfg)] = jax.jit(one_slice)
+        def get_fn(warm_index):
+            fn = cache.get((tile, use_cfg, warm_index))
+            if fn is None:
+                def fn(params, prev, prev_raw, mask_slice, k, ddim, context, y, gs):
+                    return self._volume_slice_step(params, prev, mask_slice, k, ddim,
+                                                   context=context, y=y, tile=tile,
+                                                   guidance_scale=gs if use_cfg else 1.0,
+                                                   prev_raw=prev_raw, warm_index=warm_index)
+
+                fn = cache[(tile, use_cfg, warm_index)] = jax.jit(fn)
+            return fn
 
         gs = jnp.asarray(guidance_scale, jnp.float32)
-        prev = init_slice
+        prev, prev_raw = init_slice, None
         for z in range(d):
             key, sub = jax.random.split(key)
-            prev = one_slice(params, prev, mask_volume[:, z], sub, ddim, context, y, gs)
+            fn = get_fn(warm if (warm is not None and z > 0) else None)
+            prev, prev_raw = fn(params, prev, prev_raw, mask_volume[:, z], sub, ddim,
+                                context, y, gs)
             yield prev

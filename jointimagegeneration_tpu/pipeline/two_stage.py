@@ -69,6 +69,7 @@ class TwoStagePipeline:
         ae_params=None,
         cond_ae_params=None,
         guidance_scale: float = 1.0,
+        warm_start: Optional[float] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (ct_volume (B,D',H',W',C), labels (B,D',H',W'))."""
         if isinstance(self.slice_ldm, LatentSliceLDM) and ae_params is None:
@@ -84,9 +85,10 @@ class TwoStagePipeline:
             ct = self.slice_ldm.sample_volume(
                 ldm_params, ae_params, k2, mask_channel, ddim,
                 cond_ae_params=cond_ae_params, context=context,
-                guidance_scale=guidance_scale,
+                guidance_scale=guidance_scale, warm_start=warm_start,
             )
         else:
             ct = self.slice_ldm.sample_volume(ldm_params, k2, mask_channel, ddim, context=context,
-                                              guidance_scale=guidance_scale)
+                                              guidance_scale=guidance_scale,
+                                              warm_start=warm_start)
         return ct, labels_up
