@@ -190,7 +190,9 @@ def test_serve_generate_mask_batched():
 def test_serve_two_stage_stream_and_batch():
     """/generate kind=two_stage: `stream: true` yields NDJSON — a mask
     header, one line per CT slice as the z-loop produces it, a summary —
-    and `batch: 2` returns per-volume NIfTIs in one jitted call."""
+    and `batch: 2` returns per-volume NIfTIs in one jitted call.  Both
+    requests carry `warm_start` to cover the serve-side routing of the
+    truncated-chain autoregression (streamed and whole-pipeline)."""
     import base64
     import json
     import threading
@@ -227,7 +229,7 @@ def test_serve_two_stage_stream_and_batch():
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
         body = json.dumps({"kind": "two_stage", "seed": 1, "stream": True,
-                           "guidance_scale": 2.0}).encode()
+                           "guidance_scale": 2.0, "warm_start": 0.5}).encode()
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate", data=body,
             headers={"Content-Type": "application/json"},
@@ -243,7 +245,8 @@ def test_serve_two_stage_stream_and_batch():
         assert np.all(np.isfinite(arr.astype(np.float32)))
         assert summary["done"] is True
 
-        body = json.dumps({"kind": "two_stage", "seed": 2, "batch": 2}).encode()
+        body = json.dumps({"kind": "two_stage", "seed": 2, "batch": 2,
+                           "warm_start": 0.5}).encode()
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate", data=body,
             headers={"Content-Type": "application/json"},
