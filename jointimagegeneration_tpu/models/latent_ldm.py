@@ -352,6 +352,10 @@ class LatentSliceLDM:
         for z in range(d):
             key, sub = jax.random.split(key)
             fn = get_fn(warm if (warm is not None and z > 0) else None)
-            prev, prev_raw = fn(params, ae_params, cond_ae_params, prev, prev_raw,
-                                mask_volume[:, z], sub, ddim, context, gs)
+            prev, raw = fn(params, ae_params, cond_ae_params, prev, prev_raw,
+                           mask_volume[:, z], sub, ddim, context, gs)
+            # keep prev_raw=None when warm start is off so every slice hits
+            # the SAME jitted signature (a tensor here would retrace the
+            # cold program once with an unused argument)
+            prev_raw = raw if warm is not None else None
             yield prev

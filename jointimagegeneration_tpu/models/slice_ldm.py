@@ -528,6 +528,10 @@ class SliceLDM:
         for z in range(d):
             key, sub = jax.random.split(key)
             fn = get_fn(warm if (warm is not None and z > 0) else None)
-            prev, prev_raw = fn(params, prev, prev_raw, mask_volume[:, z], sub, ddim,
-                                context, y, gs)
+            prev, raw = fn(params, prev, prev_raw, mask_volume[:, z], sub, ddim,
+                           context, y, gs)
+            # keep prev_raw=None when warm start is off so every slice hits
+            # the SAME jitted signature (a tensor here would retrace the
+            # cold program once with an unused argument)
+            prev_raw = raw if warm is not None else None
             yield prev

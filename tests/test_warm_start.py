@@ -72,6 +72,20 @@ def test_start_index_validation():
     assert SliceLDM.warm_start_index(ddim, 1e-9) == 1  # floor at one step
 
 
+def test_cold_stream_single_program():
+    """With warm_start off, streaming must hit ONE jitted signature for
+    every slice — the raw-sample carry stays None so the unused prev_raw
+    argument never flips the cold program's signature to a tensor."""
+    ldm = _tiny_ldm()
+    params = ldm.init_params(jax.random.key(0), 16)
+    ddim = DDIMParams.create(ldm.diffusion, 2)
+    mask = jnp.ones((1, 3, 16, 16, 1)) * 0.5
+    for _ in ldm.stream_volume(params, jax.random.key(1), mask, ddim):
+        pass
+    (fn,) = ldm._stream_jit_cache.values()
+    assert fn._cache_size() == 1
+
+
 @pytest.mark.slow
 def test_sample_volume_warm_start_shapes_and_differs():
     ldm = _tiny_ldm()
