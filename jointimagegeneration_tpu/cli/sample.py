@@ -117,7 +117,13 @@ def main(argv=None):
             lambda: ldm.init_params(jax.random.key(1), size),
             s2.get("checkpoint"),
         )
-        ddim = DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50), eta=cfg.get("ddim_eta", 0.0))
+        # ddim_discretize: uniform (reference default, util.py:46-60) | quad
+        # | uniform_lambda (beyond-reference log-SNR spacing — the right
+        # node set for sampler: dpm, and more accurate for ddim too)
+        ddim = DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50),
+                                 method=cfg.get("ddim_discretize",
+                                                s2.get("ddim_discretize", "uniform")),
+                                 eta=cfg.get("ddim_eta", 0.0))
 
     # text conditioning (milestone config #4): features from an .npz (the
     # form stage-1 trains on, ccdm/datasets/ruijin.py:108-111) or encoded
@@ -238,6 +244,9 @@ def main(argv=None):
                 # after the first, seeded from the previous slice (beyond-
                 # reference speed knob; see SliceLDM.sample_volume)
                 warm_start=cfg.get("warm_start", s2.get("warm_start")),
+                # sampler: ddim (default) | plms | dpm — dpm is the
+                # DPM-Solver++(2M) low-step-count route (diffusion/dpm_solver.py)
+                sampler=cfg.get("sampler", s2.get("sampler", "ddim")),
             )
             for j in range(min(bs, n_cases - c0)):
                 cdir = outdir / f"case_{c0 + j:04d}"
@@ -276,6 +285,7 @@ def main(argv=None):
                     guidance_scale=float(cfg.get("guidance_scale",
                                                  s2.get("guidance_scale", 1.0))),
                     warm_start=cfg.get("warm_start", s2.get("warm_start")),
+                    sampler=cfg.get("sampler", s2.get("sampler", "ddim")),
                 )
                 vol = np.asarray(vol[0, ..., 0])
             elif cfg.get("sampler", "ddim") == "plms" and "cond" in item:
@@ -293,7 +303,8 @@ def main(argv=None):
                 gs = float(cfg.get("guidance_scale", s2.get("guidance_scale", 1.0)))
                 vol = ldm.sample_volume(ldm_params, sub, mask, ddim, tile=tile,
                                         guidance_scale=gs,
-                                        warm_start=cfg.get("warm_start", s2.get("warm_start")))
+                                        warm_start=cfg.get("warm_start", s2.get("warm_start")),
+                                        sampler=cfg.get("sampler", s2.get("sampler", "ddim")))
                 vol = np.asarray(vol[0, ..., 0])
             save_image_volume(case_dir / "image.nii.gz", vol)
             save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))

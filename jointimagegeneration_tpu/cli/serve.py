@@ -11,7 +11,7 @@ batching is the mesh's job, not the server's.
 
 POST /generate {"kind": "mask"|"two_stage", "seed": int, "batch": int?,
                 "mask_steps": int?, "stream": bool?, "guidance_scale": float?,
-                "warm_start": float?}
+                "warm_start": float?, "sampler": "ddim"|"plms"|"dpm"?}
   -> {"labels_nifti_b64"| "ct_nifti_b64", "class_counts", "elapsed_s"}
   `batch: N` generates N volumes in one jitted call, one volume per
   data-axis mesh slot when multiple devices exist.  `stream: true` on
@@ -90,7 +90,7 @@ def make_handler(state: dict):
 
         def _stream_two_stage(self, state, msp, lp, key, bs, cond, mask_steps, t0,
                               guidance_scale=1.0, ae_params=None, cond_ae_params=None,
-                              warm_start=None):
+                              warm_start=None, sampler="ddim"):
             """NDJSON streaming: the mask volume first, then one line per
             generated CT slice AS the autoregressive z-loop produces it
             (stream_volume host generator), then a summary line.  HTTP/1.0
@@ -125,11 +125,12 @@ def make_handler(state: dict):
                     gen = state["ldm"].stream_volume(
                         lp, ae_params, k2, mask_channel, state["ddim"],
                         cond_ae_params=cond_ae_params, guidance_scale=guidance_scale,
-                        warm_start=warm_start)
+                        warm_start=warm_start, sampler=sampler)
                 else:
                     gen = state["ldm"].stream_volume(
                         lp, k2, mask_channel, state["ddim"],
-                        guidance_scale=guidance_scale, warm_start=warm_start)
+                        guidance_scale=guidance_scale, warm_start=warm_start,
+                        sampler=sampler)
                 for z, s in enumerate(gen):
                     arr = np.asarray(s).astype(np.float16)  # (B, H, W, C)
                     line({"slice": z, "shape": list(arr.shape), "dtype": "float16",
@@ -209,10 +210,14 @@ def make_handler(state: dict):
                     # the previous slice (SliceLDM.sample_volume docstring)
                     ws = req.get("warm_start")
                     ws = float(ws) if ws is not None else None
+                    # "sampler": ddim (default) | plms | dpm — dpm is the
+                    # low-step-count DPM-Solver++(2M) route
+                    smp = str(req.get("sampler", "ddim"))
                     if req.get("stream"):
                         self._stream_two_stage(state, msp, lp, key, bs, cond, steps, t0,
                                                guidance_scale=gs, ae_params=aep,
-                                               cond_ae_params=caep, warm_start=ws)
+                                               cond_ae_params=caep, warm_start=ws,
+                                               sampler=smp)
                         return
                     fc = feature_cond(state.get("feat_fn"), state.get("feat_idx"), cond)
                     ct, labels = pipe(
@@ -220,7 +225,7 @@ def make_handler(state: dict):
                         mask_shape=(bs, *state["spatial"]), volume_shape=state["volume_shape"],
                         ddim=state["ddim"], mask_steps=steps, cond=cond, feature_cond=fc,
                         guidance_scale=gs, ae_params=aep, cond_ae_params=caep,
-                        warm_start=ws,
+                        warm_start=ws, sampler=smp,
                     )
                     ct, labels = np.asarray(ct), np.asarray(labels)
                     resp = {
@@ -285,7 +290,9 @@ def main(argv=None):
         )
         state.update(
             pipe=TwoStagePipeline(ms, ldm), ldm=ldm, ldm_params=lp,
-            ddim=DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50)),
+            ddim=DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50),
+                                   method=cfg.get("ddim_discretize",
+                                                  s2.get("ddim_discretize", "uniform"))),
             volume_shape=tuple(cfg.get("volume_shape", (128, 256, 256))),
         )
     server = HTTPServer(("0.0.0.0", port), make_handler(state))

@@ -42,7 +42,8 @@ class DDIMParams:
         dtype=jnp.float32,
     ):
         ac = np.asarray(diffusion.alphas_cumprod, np.float64)
-        subset = _sched.ddim_timestep_subset(method, num_steps, diffusion.num_timesteps)
+        subset = _sched.ddim_timestep_subset(method, num_steps, diffusion.num_timesteps,
+                                             alphas_cumprod=ac)
         sigmas, alphas, alphas_prev = _sched.ddim_sampling_parameters(ac, subset, eta)
         j = lambda x: jnp.asarray(x, dtype)
         return cls(

@@ -1,0 +1,86 @@
+"""DPM-Solver++(2M): second-order multistep ODE sampler.
+
+Beyond-reference sampler (the reference ships DDIM + PLMS only,
+ldm/models/diffusion/{ddim,plms}.py): DPM-Solver++ (Lu et al. 2022,
+data-prediction multistep variant) solves the probability-flow ODE in
+log-SNR time, reaching 50-step-DDIM quality in ~15-25 model calls.
+Unlike the `warm_start` knob this keeps the reference's per-slice
+independence semantics exactly — every slice still starts from pure
+noise; only the integrator is better.
+
+Same pure-scan structure as plms.py: the multistep state is one previous
+x0-prediction in the carry, the first step falls back to first order via
+`lax.cond`, and the whole chain compiles to a single program.
+
+Update rule (deterministic, x0-prediction form), with alpha_t = sqrt(abar),
+sigma_t = sqrt(1-abar), lambda_t = log(alpha_t / sigma_t):
+
+  h_i   = lambda_{t_{i+1}} - lambda_{t_i}
+  r_i   = h_{i-1} / h_i
+  Dbar  = (1 + 1/(2 r_i)) D_i - 1/(2 r_i) D_{i-1}      (first step: D_i)
+  x_{t_{i+1}} = (sigma_{t_{i+1}} / sigma_{t_i}) x
+                - alpha_{t_{i+1}} (exp(-h_i) - 1) Dbar
+
+where D_i = (x - sigma_{t_i} eps(x, t_i)) / alpha_{t_i}.  The node
+sequence reuses DDIMParams: abar descends alphas[n-1..0] and finishes at
+alphas_prev[0], so the output convention matches the DDIM loop's.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .ddim import DDIMParams
+
+__all__ = ["dpm_solver_sample_loop"]
+
+
+def dpm_solver_sample_loop(
+    eps_fn: Callable,  # (x, t_batch) -> eps
+    params: DDIMParams,
+    x_T: jnp.ndarray,
+) -> jnp.ndarray:
+    """Run the full DPM-Solver++(2M) chain from x_T; returns the final x."""
+    b = x_T.shape[0]
+    n = params.num_steps
+    shape1 = (1,) * x_T.ndim
+
+    # per-node quantities in fp32 (log/expm1 precision), index = subset index
+    abar = jnp.asarray(params.alphas, jnp.float32)
+    abar_prev = jnp.asarray(params.alphas_prev, jnp.float32)
+
+    def node(a):
+        alpha = jnp.sqrt(a)
+        sigma = jnp.sqrt(1.0 - a)
+        return alpha, sigma, jnp.log(alpha) - jnp.log(sigma)
+
+    def body(carry, i):
+        x, d_prev, lam_prev_node = carry
+        index = n - 1 - i
+        alpha_c, sigma_c, lam_c = node(abar[index])
+        alpha_n, sigma_n, lam_n = node(abar_prev[index])
+
+        t = jnp.full((b,), params.timesteps[index], jnp.int32)
+        e_t = eps_fn(x, t)
+        d = (x - sigma_c.astype(x.dtype) * e_t) / alpha_c.astype(x.dtype)
+
+        h = lam_n - lam_c
+        h_last = lam_c - lam_prev_node
+
+        def second_order(_):
+            r = h_last / h
+            c = 1.0 / (2.0 * r)
+            return (1.0 + c).astype(x.dtype) * d - c.astype(x.dtype) * d_prev
+
+        d_bar = jax.lax.cond(i == 0, lambda _: d, second_order, None)
+        scale = (sigma_n / sigma_c).astype(x.dtype)
+        coef = (alpha_n * jnp.expm1(-h)).astype(x.dtype)
+        x_new = scale * x - coef * d_bar
+        return (x_new, d, lam_c), None
+
+    lam0 = node(abar[n - 1])[2]  # placeholder; unused at i==0
+    (x, _, _), _ = jax.lax.scan(body, (x_T, jnp.zeros_like(x_T), lam0), jnp.arange(n))
+    return x

@@ -197,6 +197,7 @@ class LatentSliceLDM:
         init_slice: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
         warm_start: Optional[float] = None,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         """Latent-space equivalent of SliceLDM.sample_volume — the
         reference's sample_cond drive with a first stage
@@ -212,7 +213,12 @@ class LatentSliceLDM:
         DDIM chain in LATENT space from the previous slice's raw latent
         noised to the round(f·S)-th subset level and runs only those last
         steps (SliceLDM.sample_volume docstring); per-slice cost ~f of the
-        full chain.  Default None = exact reference semantics."""
+        full chain.  Default None = exact reference semantics.
+
+        `sampler='dpm'` ('plms') runs the LATENT chain with a multistep
+        ODE solver at reference semantics (pure noise per slice) — see
+        SliceLDM.sample_volume; incompatible with warm_start."""
+        SliceLDM._check_sampler(sampler, None, warm_start)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
@@ -232,7 +238,7 @@ class LatentSliceLDM:
                 k, sub = jax.random.split(k)
                 s, _ = self._volume_slice_step(params, ae_params, cond_ae_params,
                                                prev, mask_slice, sub, ddim, context=context,
-                                               guidance_scale=gs_c)
+                                               guidance_scale=gs_c, sampler=sampler)
                 return ((s, k, gs_c) if use_cfg else (s, k)), s
 
             init = (init_slice, key, gs) if use_cfg else (init_slice, key)
@@ -267,7 +273,8 @@ class LatentSliceLDM:
     def _volume_slice_step(self, params, ae_params, cond_ae_params,
                            prev, mask_slice, k, ddim, context=None,
                            guidance_scale=1.0, prev_raw=None,
-                           warm_index: Optional[int] = None):
+                           warm_index: Optional[int] = None,
+                           sampler: str = "ddim"):
         """One latent-path z-step (cond-stage encode → latent DDIM chain →
         first-stage decode → per-slice min-max normalisation,
         sample_diffusion.py:221-222) — shared by sample_volume's scan body
@@ -289,6 +296,15 @@ class LatentSliceLDM:
             # loop-invariant: XLA hoists this single encode out of the
             # inner DDIM scan
             uncond_z = self.encode_cond(cond_ae_params, jnp.zeros_like(cond_pix))
+        if sampler != "ddim":
+            z = self.inner._sample_slice_multistep(params, k, cond_z, ddim, sampler,
+                                                   context=context,
+                                                   guidance_scale=guidance_scale,
+                                                   uncond_cond=uncond_z)
+            s = self.decode(ae_params, z)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            return (s - lo) / jnp.maximum(hi - lo, 1e-8), z
         x_T = start = None
         if warm_index is not None and prev_raw is not None:
             k, ke = jax.random.split(k)
@@ -317,13 +333,15 @@ class LatentSliceLDM:
         init_slice: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
         warm_start: Optional[float] = None,
+        sampler: str = "ddim",
     ):
         """Generator over z yielding each decoded (B, H, W, C) slice —
         latent-path twin of SliceLDM.stream_volume (shared
-        _volume_slice_step incl. `warm_start`; the jitted per-slice
-        programs are cached on the instance, keyed by CFG ON/OFF and warm
-        index only — the scale itself is a traced argument, so varying it
-        never retraces)."""
+        _volume_slice_step incl. `warm_start` and `sampler`; the jitted
+        per-slice programs are cached on the instance, keyed by CFG
+        ON/OFF, warm index, and sampler only — the scale itself is a
+        traced argument, so varying it never retraces)."""
+        SliceLDM._check_sampler(sampler, None, warm_start)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
@@ -335,16 +353,17 @@ class LatentSliceLDM:
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
 
         def get_fn(warm_index):
-            fn = cache.get(("latent", use_cfg, warm_index))
+            fn = cache.get(("latent", use_cfg, warm_index, sampler))
             if fn is None:
                 def fn(params, ae_params, cond_ae_params, prev, prev_raw, mask_slice,
                        k, ddim, context, gs):
                     return self._volume_slice_step(params, ae_params, cond_ae_params,
                                                    prev, mask_slice, k, ddim, context=context,
                                                    guidance_scale=gs if use_cfg else 1.0,
-                                                   prev_raw=prev_raw, warm_index=warm_index)
+                                                   prev_raw=prev_raw, warm_index=warm_index,
+                                                   sampler=sampler)
 
-                fn = cache[("latent", use_cfg, warm_index)] = jax.jit(fn)
+                fn = cache[("latent", use_cfg, warm_index, sampler)] = jax.jit(fn)
             return fn
 
         gs = jnp.asarray(guidance_scale, jnp.float32)

@@ -296,6 +296,49 @@ class SliceLDM:
             clip_denoised=clip_denoised, n_rows=n_rows, collect="x0",
             quantize_fn=quantize_fn)
 
+    def _sample_slice_multistep(
+        self,
+        params,
+        key: jax.Array,
+        cond: jnp.ndarray,
+        ddim: DDIMParams,
+        sampler: str,
+        context: Optional[jnp.ndarray] = None,
+        y: Optional[jnp.ndarray] = None,
+        guidance_scale=1.0,
+        uncond_cond: Optional[jnp.ndarray] = None,
+        uncond_context: Optional[jnp.ndarray] = None,
+        x_T: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Shared driver for the multistep ODE samplers ('plms', 'dpm').
+
+        CFG composes inside eps_fn as the same two sequential b=B calls as
+        the DDIM path (see sample_slice); `guidance_scale` may be a traced
+        array (it closes over into the loop body, so a scan carry works)."""
+        from ..diffusion.dpm_solver import dpm_solver_sample_loop
+        from ..diffusion.plms import plms_sample_loop
+
+        loops = {"plms": plms_sample_loop, "dpm": dpm_solver_sample_loop}
+        if sampler not in loops:
+            raise ValueError(f"unknown sampler {sampler!r}; expected 'ddim', 'plms' or 'dpm'")
+        b, h, w, _ = cond.shape
+        if x_T is None:
+            key, sub = jax.random.split(key)
+            x_T = jax.random.normal(sub, (b, h, w, self.channels))
+        use_cfg = not (isinstance(guidance_scale, (int, float)) and guidance_scale == 1.0)
+
+        def eps_fn(x, t):
+            e = self.apply_model(params, x, t, cond=cond, context=context, y=y)
+            if use_cfg:
+                null_cond = jnp.zeros_like(cond) if uncond_cond is None else uncond_cond
+                e_u = self.apply_model(params, x, t, cond=null_cond,
+                                       context=uncond_context, y=y)
+                gs = jnp.asarray(guidance_scale).astype(e.dtype)
+                e = e_u + gs * (e - e_u)
+            return e.astype(x.dtype)
+
+        return loops[sampler](eps_fn, ddim, x_T)
+
     def sample_slice_plms(
         self,
         params,
@@ -306,17 +349,23 @@ class SliceLDM:
         x_T: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """PLMS variant of the slice sampler (ldm/models/diffusion/plms.py)."""
-        from ..diffusion.plms import plms_sample_loop
+        return self._sample_slice_multistep(params, key, cond, ddim, "plms",
+                                            context=context, x_T=x_T)
 
-        b, h, w, _ = cond.shape
-        if x_T is None:
-            key, sub = jax.random.split(key)
-            x_T = jax.random.normal(sub, (b, h, w, self.channels))
-
-        def eps_fn(x, t):
-            return self.apply_model(params, x, t, cond=cond, context=context).astype(x.dtype)
-
-        return plms_sample_loop(eps_fn, ddim, x_T)
+    def sample_slice_dpm(
+        self,
+        params,
+        key: jax.Array,
+        cond: jnp.ndarray,
+        ddim: DDIMParams,
+        context: Optional[jnp.ndarray] = None,
+        x_T: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """DPM-Solver++(2M) slice sampler (diffusion/dpm_solver.py) —
+        beyond-reference: ~50-step-DDIM quality in ~15-25 model calls with
+        the reference's pure-noise-per-slice semantics kept exactly."""
+        return self._sample_slice_multistep(params, key, cond, ddim, "dpm",
+                                            context=context, x_T=x_T)
 
     def log_images(self, params, key: jax.Array, batch: dict, ddim: DDIMParams, n_row: int = 4,
                    progressive: bool = False) -> dict:
@@ -381,6 +430,15 @@ class SliceLDM:
             raise ValueError(f"warm_start must be in (0, 1], got {warm_start}")
         return max(1, min(ddim.num_steps, int(round(f * ddim.num_steps))))
 
+    @staticmethod
+    def _check_sampler(sampler, tile, warm_start):
+        if sampler not in ("ddim", "plms", "dpm"):
+            raise ValueError(f"unknown sampler {sampler!r}; expected 'ddim', 'plms' or 'dpm'")
+        if sampler != "ddim" and (tile is not None or warm_start is not None):
+            raise ValueError(
+                f"sampler={sampler!r} does not support tile/warm_start "
+                "(both are DDIM-chain features); drop them or use sampler='ddim'")
+
     def sample_volume(
         self,
         params,
@@ -393,6 +451,7 @@ class SliceLDM:
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
         guidance_scale: float = 1.0,
         warm_start: Optional[float] = None,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         """Generate all D slices autoregressively; returns (B, D, H, W, C).
 
@@ -407,7 +466,14 @@ class SliceLDM:
         those last steps (adjacent CT slices are highly correlated, so the
         previous slice is a strong x0 guess — SDEdit truncation).  The
         per-slice cost drops ~1/f; default None keeps exact reference
-        semantics (full chain from pure noise, sample_diffusion.py:212)."""
+        semantics (full chain from pure noise, sample_diffusion.py:212).
+
+        `sampler='dpm'` ('plms') swaps the per-slice chain for a multistep
+        ODE solver at the SAME semantics (every slice from pure noise) —
+        DPM-Solver++(2M) reaches 50-step-DDIM quality in ~15-25 steps, so
+        a 20-step `ddim` subset cuts e2e ~2.4x without the z-smoothing
+        trade of `warm_start`.  Incompatible with tile/warm_start."""
+        self._check_sampler(sampler, tile, warm_start)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
@@ -425,7 +491,7 @@ class SliceLDM:
                 k, sub = jax.random.split(k)
                 s, _ = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
                                                context=context, y=y, tile=tile,
-                                               guidance_scale=gs_c)
+                                               guidance_scale=gs_c, sampler=sampler)
                 return ((s, k, gs_c) if use_cfg else (s, k)), s
 
             init = (init_slice, key, gs) if use_cfg else (init_slice, key)
@@ -458,15 +524,25 @@ class SliceLDM:
 
     def _volume_slice_step(self, params, prev, mask_slice, k, ddim,
                            context=None, y=None, tile=None, guidance_scale=1.0,
-                           prev_raw=None, warm_index: Optional[int] = None):
+                           prev_raw=None, warm_index: Optional[int] = None,
+                           sampler: str = "ddim"):
         """One autoregressive z-step: [prev generated | mask] concat-cond
         DDIM chain + per-slice min-max normalisation
         (sample_diffusion.py:222) — the single definition shared by
         sample_volume's scan body and stream_volume.  Returns
         (normalised slice, RAW slice) — the raw sample is the x0 guess for
         the next slice's warm start; with `warm_index=k` and `prev_raw`
-        given, the chain starts at index k-1 from q-sampled prev_raw."""
+        given, the chain starts at index k-1 from q-sampled prev_raw.
+        `sampler` picks the per-slice chain: 'ddim' (default, full feature
+        set) or the multistep ODE solvers 'plms'/'dpm' (no tile/warm)."""
         cond = jnp.concatenate([prev, mask_slice], axis=-1)
+        if sampler != "ddim":
+            s = self._sample_slice_multistep(params, k, cond, ddim, sampler,
+                                             context=context, y=y,
+                                             guidance_scale=guidance_scale)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            return (s - lo) / jnp.maximum(hi - lo, 1e-8), s
         x_T = start = None
         if warm_index is not None and prev_raw is not None:
             k, ke = jax.random.split(k)
@@ -492,16 +568,19 @@ class SliceLDM:
         tile: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
         guidance_scale: float = 1.0,
         warm_start: Optional[float] = None,
+        sampler: str = "ddim",
     ):
         """Generator over z: yields each (B, H, W, C) slice as it is
         produced.  Same math as `sample_volume` (shared _volume_slice_step,
-        incl. the `warm_start` short-chain option) but consumers see slices
-        incrementally — the serving analog of the reference's per-slice
-        debug dump inside sample_cond (sample_diffusion.py:223).  The
-        jitted per-slice programs are cached on the instance (keyed by
-        tile, CFG ON/OFF, and warm index only — the scale itself is a
-        traced argument) so repeated streaming requests, even with varying
-        guidance scales, never retrace."""
+        incl. the `warm_start` short-chain and `sampler` options) but
+        consumers see slices incrementally — the serving analog of the
+        reference's per-slice debug dump inside sample_cond
+        (sample_diffusion.py:223).  The jitted per-slice programs are
+        cached on the instance (keyed by tile, CFG ON/OFF, warm index, and
+        sampler only — the scale itself is a traced argument) so repeated
+        streaming requests, even with varying guidance scales, never
+        retrace."""
+        self._check_sampler(sampler, tile, warm_start)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
@@ -512,15 +591,16 @@ class SliceLDM:
         cache = self.__dict__.setdefault("_stream_jit_cache", {})
 
         def get_fn(warm_index):
-            fn = cache.get((tile, use_cfg, warm_index))
+            fn = cache.get((tile, use_cfg, warm_index, sampler))
             if fn is None:
                 def fn(params, prev, prev_raw, mask_slice, k, ddim, context, y, gs):
                     return self._volume_slice_step(params, prev, mask_slice, k, ddim,
                                                    context=context, y=y, tile=tile,
                                                    guidance_scale=gs if use_cfg else 1.0,
-                                                   prev_raw=prev_raw, warm_index=warm_index)
+                                                   prev_raw=prev_raw, warm_index=warm_index,
+                                                   sampler=sampler)
 
-                fn = cache[(tile, use_cfg, warm_index)] = jax.jit(fn)
+                fn = cache[(tile, use_cfg, warm_index, sampler)] = jax.jit(fn)
             return fn
 
         gs = jnp.asarray(guidance_scale, jnp.float32)

@@ -123,9 +123,19 @@ def gaussian_beta_schedule(
 # ---------------------------------------------------------------------------
 
 
-def ddim_timestep_subset(method: str, num_ddim: int, num_ddpm: int) -> np.ndarray:
+def ddim_timestep_subset(method: str, num_ddim: int, num_ddpm: int,
+                         alphas_cumprod: np.ndarray | None = None) -> np.ndarray:
     """Indices into [0, T) of the DDPM steps visited by DDIM, +1 offset
-    applied as in the reference (so values live in [1, T])."""
+    applied as in the reference (so values live in [1, T]).
+
+    'uniform' and 'quad' mirror make_ddim_timesteps (ldm/modules/
+    diffusionmodules/util.py:46-60).  'uniform_lambda' (beyond-reference,
+    needs `alphas_cumprod`) spaces the subset uniformly in log-SNR
+    lambda = 0.5*log(abar/(1-abar)) — uniform-in-t spacing concentrates
+    the lambda span at the chain's endpoints, which caps every ODE solver
+    at first order there; uniform-lambda nodes are what gives
+    DPM-Solver++(2M) its second-order convergence (measured in
+    tests/test_dpm_solver.py)."""
     if num_ddim > num_ddpm:
         raise ValueError(f"ddim steps ({num_ddim}) cannot exceed ddpm timesteps ({num_ddpm})")
     if method == "uniform":
@@ -133,6 +143,20 @@ def ddim_timestep_subset(method: str, num_ddim: int, num_ddpm: int) -> np.ndarra
         steps = np.asarray(list(range(0, num_ddpm, c)))
     elif method == "quad":
         steps = (np.linspace(0, np.sqrt(num_ddpm * 0.8), num_ddim) ** 2).astype(int)
+    elif method == "uniform_lambda":
+        if alphas_cumprod is None:
+            raise ValueError("uniform_lambda discretization needs alphas_cumprod")
+        ac = np.asarray(alphas_cumprod, np.float64)
+        # candidates stop at T-2: the +1 subset offset below indexes ac
+        lam = 0.5 * (np.log(ac[: num_ddpm - 1]) - np.log1p(-ac[: num_ddpm - 1]))
+        grid = np.linspace(lam[-1], lam[0], num_ddim)  # noisiest -> cleanest
+        steps = np.unique([int(np.abs(lam - g).argmin()) for g in grid])
+        # argmin collisions at coarse tails can merge nodes; keep the count
+        # exact by filling with the earliest unused steps
+        missing = num_ddim - len(steps)
+        if missing > 0:
+            unused = np.setdiff1d(np.arange(num_ddpm - 1), steps)
+            steps = np.sort(np.concatenate([steps, unused[:missing]]))
     else:
         raise ValueError(f"unknown ddim discretization {method!r}")
     return steps + 1

@@ -70,6 +70,7 @@ class TwoStagePipeline:
         cond_ae_params=None,
         guidance_scale: float = 1.0,
         warm_start: Optional[float] = None,
+        sampler: str = "ddim",
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (ct_volume (B,D',H',W',C), labels (B,D',H',W'))."""
         if isinstance(self.slice_ldm, LatentSliceLDM) and ae_params is None:
@@ -86,9 +87,10 @@ class TwoStagePipeline:
                 ldm_params, ae_params, k2, mask_channel, ddim,
                 cond_ae_params=cond_ae_params, context=context,
                 guidance_scale=guidance_scale, warm_start=warm_start,
+                sampler=sampler,
             )
         else:
             ct = self.slice_ldm.sample_volume(ldm_params, k2, mask_channel, ddim, context=context,
                                               guidance_scale=guidance_scale,
-                                              warm_start=warm_start)
+                                              warm_start=warm_start, sampler=sampler)
         return ct, labels_up

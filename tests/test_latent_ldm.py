@@ -135,13 +135,14 @@ def test_cfg_scale_does_not_retrace():
     assert traces == 1, f"guidance sweep retraced {traces}x"
     assert np.abs(np.asarray(outs[0]) - np.asarray(outs[2])).max() > 0
 
-    # stream_volume caches ONE jitted program per (tile, cfg-on, warm) triple
+    # stream_volume caches ONE jitted program per (tile, cfg-on, warm,
+    # sampler) quad
     mask = jnp.ones((1, 2, 16, 16, 1))
     for gs in (2.0, 3.0, 4.5):
         for _ in ldm.stream_volume(params, jax.random.key(2), mask, ddim,
                                    guidance_scale=gs):
             pass
-    assert set(ldm._stream_jit_cache) == {(None, True, None)}
+    assert set(ldm._stream_jit_cache) == {(None, True, None, "ddim")}
 
 
 def test_plms_slice_sampler():
