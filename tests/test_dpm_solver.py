@@ -138,6 +138,10 @@ def test_dpm_volume_stream_and_cfg():
                                 guidance_scale=2.0)
     assert np.isfinite(np.asarray(cfg_vol)).all()
     assert np.abs(np.asarray(cfg_vol) - np.asarray(vol)).max() > 0
+    # plms rides the same multistep volume route
+    plms_vol = ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="plms")
+    assert np.isfinite(np.asarray(plms_vol)).all()
+    assert np.abs(np.asarray(plms_vol) - np.asarray(vol)).max() > 0
 
 
 @pytest.mark.slow
