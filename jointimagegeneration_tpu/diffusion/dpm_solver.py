@@ -42,11 +42,22 @@ def dpm_solver_sample_loop(
     eps_fn: Callable,  # (x, t_batch) -> eps
     params: DDIMParams,
     x_T: jnp.ndarray,
+    start_index: int | None = None,
 ) -> jnp.ndarray:
-    """Run the full DPM-Solver++(2M) chain from x_T; returns the final x."""
+    """Run the DPM-Solver++(2M) chain from x_T; returns the final x.
+
+    `start_index=k` (static, 1 ≤ k ≤ num_steps) runs only the LAST k
+    nodes (subset indices k-1 … 0); the caller must supply x_T already at
+    node k-1's noise level (same contract as SliceLDM.sample_slice's
+    start_index — the warm-start primitive).  The first executed step is
+    first-order (no previous D in the multistep history), exactly like a
+    full chain's first step."""
     b = x_T.shape[0]
     n = params.num_steps
-    shape1 = (1,) * x_T.ndim
+    k_run = n if start_index is None else int(start_index)
+    if not 1 <= k_run <= n:
+        raise ValueError(f"start_index must be in [1, {n}], got {start_index}")
+    i0 = n - k_run
 
     # per-node quantities in fp32 (log/expm1 precision), index = subset index
     abar = jnp.asarray(params.alphas, jnp.float32)
@@ -75,12 +86,13 @@ def dpm_solver_sample_loop(
             c = 1.0 / (2.0 * r)
             return (1.0 + c).astype(x.dtype) * d - c.astype(x.dtype) * d_prev
 
-        d_bar = jax.lax.cond(i == 0, lambda _: d, second_order, None)
+        d_bar = jax.lax.cond(i == i0, lambda _: d, second_order, None)
         scale = (sigma_n / sigma_c).astype(x.dtype)
         coef = (alpha_n * jnp.expm1(-h)).astype(x.dtype)
         x_new = scale * x - coef * d_bar
         return (x_new, d, lam_c), None
 
-    lam0 = node(abar[n - 1])[2]  # placeholder; unused at i==0
-    (x, _, _), _ = jax.lax.scan(body, (x_T, jnp.zeros_like(x_T), lam0), jnp.arange(n))
+    lam0 = node(abar[n - 1 - i0])[2]  # placeholder; unused at i==i0
+    (x, _, _), _ = jax.lax.scan(
+        body, (x_T, jnp.zeros_like(x_T), lam0), i0 + jnp.arange(k_run))
     return x

@@ -41,10 +41,21 @@ def plms_sample_loop(
     eps_fn: Callable,  # (x, t_batch) -> eps
     params: DDIMParams,
     x_T: jnp.ndarray,
+    start_index: int | None = None,
 ) -> jnp.ndarray:
-    """Run the full PLMS chain from x_T; returns x_0 estimate."""
+    """Run the PLMS chain from x_T; returns x_0 estimate.
+
+    `start_index=k` (static, 1 ≤ k ≤ num_steps) runs only the LAST k
+    nodes (subset indices k-1 … 0); the caller must supply x_T already at
+    node k-1's noise level (same warm-start contract as
+    SliceLDM.sample_slice's start_index).  The Adams-Bashforth order
+    ramps 1→4 from the first EXECUTED step, exactly like a full chain."""
     b = x_T.shape[0]
     n = params.num_steps
+    k_run = n if start_index is None else int(start_index)
+    if not 1 <= k_run <= n:
+        raise ValueError(f"start_index must be in [1, {n}], got {start_index}")
+    i0 = n - k_run
 
     def eps_at(x, index):
         t = jnp.full((b,), params.timesteps[index], jnp.int32)
@@ -71,11 +82,12 @@ def plms_sample_loop(
         def order4(_):
             return (55 * e_t - 59 * hist[0] + 37 * hist[1] - 9 * hist[2]) / 24
 
-        e_prime = jax.lax.switch(jnp.minimum(i, 3), [order1, order2, order3, order4], None)
+        e_prime = jax.lax.switch(jnp.minimum(i - i0, 3),
+                                 [order1, order2, order3, order4], None)
         x_new, _ = _x_prev(params, x, e_prime, index)
         hist = jnp.concatenate([e_t[None], hist[:2]], axis=0)
         return (x_new, hist), None
 
     hist0 = jnp.zeros((3,) + x_T.shape, x_T.dtype)
-    (x, _), _ = jax.lax.scan(body, (x_T, hist0), jnp.arange(n))
+    (x, _), _ = jax.lax.scan(body, (x_T, hist0), i0 + jnp.arange(k_run))
     return x

@@ -217,7 +217,9 @@ class LatentSliceLDM:
 
         `sampler='dpm'` ('plms') runs the LATENT chain with a multistep
         ODE solver at reference semantics (pure noise per slice) — see
-        SliceLDM.sample_volume; incompatible with warm_start."""
+        SliceLDM.sample_volume; `warm_start` composes (the solver runs
+        only its last round(f·S) nodes from the q-noised previous
+        latent), compounding the two speedups."""
         SliceLDM._check_sampler(sampler, None, warm_start)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
@@ -251,7 +253,8 @@ class LatentSliceLDM:
         s0, zraw0 = self._volume_slice_step(params, ae_params, cond_ae_params,
                                             init_slice, mask_zfirst[0], k0, ddim,
                                             context=context,
-                                            guidance_scale=gs if use_cfg else 1.0)
+                                            guidance_scale=gs if use_cfg else 1.0,
+                                            sampler=sampler)
 
         def body(carry, mask_slice):
             if use_cfg:
@@ -262,7 +265,8 @@ class LatentSliceLDM:
             s, zr = self._volume_slice_step(params, ae_params, cond_ae_params,
                                             prev, mask_slice, sub, ddim, context=context,
                                             guidance_scale=gs_c,
-                                            prev_raw=zraw, warm_index=warm)
+                                            prev_raw=zraw, warm_index=warm,
+                                            sampler=sampler)
             return ((s, zr, k, gs_c) if use_cfg else (s, zr, k)), s
 
         init = (s0, zraw0, key, gs) if use_cfg else (s0, zraw0, key)
@@ -296,15 +300,6 @@ class LatentSliceLDM:
             # loop-invariant: XLA hoists this single encode out of the
             # inner DDIM scan
             uncond_z = self.encode_cond(cond_ae_params, jnp.zeros_like(cond_pix))
-        if sampler != "ddim":
-            z = self.inner._sample_slice_multistep(params, k, cond_z, ddim, sampler,
-                                                   context=context,
-                                                   guidance_scale=guidance_scale,
-                                                   uncond_cond=uncond_z)
-            s = self.decode(ae_params, z)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            return (s - lo) / jnp.maximum(hi - lo, 1e-8), z
         x_T = start = None
         if warm_index is not None and prev_raw is not None:
             k, ke = jax.random.split(k)
@@ -312,6 +307,16 @@ class LatentSliceLDM:
             eps = jax.random.normal(ke, prev_raw.shape, prev_raw.dtype)
             x_T = jnp.sqrt(a) * prev_raw + jnp.sqrt(1.0 - a) * eps
             start = warm_index
+        if sampler != "ddim":
+            z = self.inner._sample_slice_multistep(params, k, cond_z, ddim, sampler,
+                                                   context=context,
+                                                   guidance_scale=guidance_scale,
+                                                   uncond_cond=uncond_z,
+                                                   x_T=x_T, start_index=start)
+            s = self.decode(ae_params, z)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            return (s - lo) / jnp.maximum(hi - lo, 1e-8), z
         z = self.inner.sample_slice(params, k, cond_z, ddim, context=context,
                                     guidance_scale=guidance_scale,
                                     uncond_cond=uncond_z,

@@ -309,12 +309,16 @@ class SliceLDM:
         uncond_cond: Optional[jnp.ndarray] = None,
         uncond_context: Optional[jnp.ndarray] = None,
         x_T: Optional[jnp.ndarray] = None,
+        start_index: Optional[int] = None,
     ) -> jnp.ndarray:
         """Shared driver for the multistep ODE samplers ('plms', 'dpm').
 
         CFG composes inside eps_fn as the same two sequential b=B calls as
         the DDIM path (see sample_slice); `guidance_scale` may be a traced
-        array (it closes over into the loop body, so a scan carry works)."""
+        array (it closes over into the loop body, so a scan carry works).
+        `start_index=k` runs only the last k nodes from an x_T at node
+        k-1's noise level — the warm-start primitive, same contract as
+        sample_slice's start_index."""
         from ..diffusion.dpm_solver import dpm_solver_sample_loop
         from ..diffusion.plms import plms_sample_loop
 
@@ -337,7 +341,7 @@ class SliceLDM:
                 e = e_u + gs * (e - e_u)
             return e.astype(x.dtype)
 
-        return loops[sampler](eps_fn, ddim, x_T)
+        return loops[sampler](eps_fn, ddim, x_T, start_index=start_index)
 
     def sample_slice_plms(
         self,
@@ -434,10 +438,10 @@ class SliceLDM:
     def _check_sampler(sampler, tile, warm_start):
         if sampler not in ("ddim", "plms", "dpm"):
             raise ValueError(f"unknown sampler {sampler!r}; expected 'ddim', 'plms' or 'dpm'")
-        if sampler != "ddim" and (tile is not None or warm_start is not None):
+        if sampler != "ddim" and tile is not None:
             raise ValueError(
-                f"sampler={sampler!r} does not support tile/warm_start "
-                "(both are DDIM-chain features); drop them or use sampler='ddim'")
+                f"sampler={sampler!r} does not support tile (a DDIM-chain "
+                "feature); drop it or use sampler='ddim'")
 
     def sample_volume(
         self,
@@ -472,7 +476,9 @@ class SliceLDM:
         ODE solver at the SAME semantics (every slice from pure noise) —
         DPM-Solver++(2M) reaches 50-step-DDIM quality in ~15-25 steps, so
         a 20-step `ddim` subset cuts e2e ~2.4x without the z-smoothing
-        trade of `warm_start`.  Incompatible with tile/warm_start."""
+        trade of `warm_start`.  `warm_start` COMPOSES with it (the solver
+        runs only its last round(f·S) nodes from the q-noised previous
+        slice), compounding the two speedups; `tile` stays DDIM-only."""
         self._check_sampler(sampler, tile, warm_start)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
@@ -503,7 +509,8 @@ class SliceLDM:
         key, k0 = jax.random.split(key)
         s0, raw0 = self._volume_slice_step(params, init_slice, mask_zfirst[0], k0, ddim,
                                            context=context, y=y, tile=tile,
-                                           guidance_scale=gs if use_cfg else 1.0)
+                                           guidance_scale=gs if use_cfg else 1.0,
+                                           sampler=sampler)
 
         def body(carry, mask_slice):
             if use_cfg:
@@ -514,7 +521,8 @@ class SliceLDM:
             s, raw = self._volume_slice_step(params, prev, mask_slice, sub, ddim,
                                              context=context, y=y, tile=tile,
                                              guidance_scale=gs_c,
-                                             prev_raw=praw, warm_index=warm)
+                                             prev_raw=praw, warm_index=warm,
+                                             sampler=sampler)
             return ((s, raw, k, gs_c) if use_cfg else (s, raw, k)), s
 
         init = (s0, raw0, key, gs) if use_cfg else (s0, raw0, key)
@@ -534,15 +542,10 @@ class SliceLDM:
         the next slice's warm start; with `warm_index=k` and `prev_raw`
         given, the chain starts at index k-1 from q-sampled prev_raw.
         `sampler` picks the per-slice chain: 'ddim' (default, full feature
-        set) or the multistep ODE solvers 'plms'/'dpm' (no tile/warm)."""
+        set) or the multistep ODE solvers 'plms'/'dpm' (warm composes —
+        the truncated chain runs the solver's last k nodes; tile stays
+        DDIM-only)."""
         cond = jnp.concatenate([prev, mask_slice], axis=-1)
-        if sampler != "ddim":
-            s = self._sample_slice_multistep(params, k, cond, ddim, sampler,
-                                             context=context, y=y,
-                                             guidance_scale=guidance_scale)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            return (s - lo) / jnp.maximum(hi - lo, 1e-8), s
         x_T = start = None
         if warm_index is not None and prev_raw is not None:
             k, ke = jax.random.split(k)
@@ -550,6 +553,14 @@ class SliceLDM:
             eps = jax.random.normal(ke, prev_raw.shape, prev_raw.dtype)
             x_T = jnp.sqrt(a) * prev_raw + jnp.sqrt(1.0 - a) * eps
             start = warm_index
+        if sampler != "ddim":
+            s = self._sample_slice_multistep(params, k, cond, ddim, sampler,
+                                             context=context, y=y,
+                                             guidance_scale=guidance_scale,
+                                             x_T=x_T, start_index=start)
+            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+            return (s - lo) / jnp.maximum(hi - lo, 1e-8), s
         s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile,
                               guidance_scale=guidance_scale, x_T=x_T, start_index=start)
         lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)

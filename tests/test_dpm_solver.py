@@ -112,10 +112,39 @@ def test_sampler_validation():
         ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="euler")
     with pytest.raises(ValueError):
         ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="dpm",
-                          warm_start=0.5)
-    with pytest.raises(ValueError):
-        ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="dpm",
                           tile=((8, 8), (8, 8)))
+    with pytest.raises(ValueError):
+        ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="plms",
+                          tile=((8, 8), (8, 8)))
+
+
+def test_multistep_start_index_telescopes_and_validates():
+    """Truncated dpm/plms chains with e_t ≡ 0 (zero-init out_conv) reduce
+    every step to x -> x·sqrt(a_next/a_cur), so a chain started at subset
+    index k telescopes to x·sqrt(alphas_prev[0]/alphas[k-1]) — pins the
+    start_index plumbing (node range, first-order restart) exactly.  A
+    full-length start_index must be the default chain bit-for-bit."""
+    from jointimagegeneration_tpu.diffusion.dpm_solver import dpm_solver_sample_loop
+    from jointimagegeneration_tpu.diffusion.plms import plms_sample_loop
+
+    ldm = _tiny_ldm(timesteps=20)
+    params = ldm.init_params(jax.random.key(0), 16)
+    ddim = DDIMParams.create(ldm.diffusion, 5)
+    cond = jnp.zeros((1, 16, 16, 2))
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 1))
+    for loop in (dpm_solver_sample_loop, plms_sample_loop):
+        eps_fn = lambda xx, tt: jnp.zeros_like(xx)
+        for k in (1, 3, 5):
+            out = loop(eps_fn, ddim, x, start_index=k)
+            expect = x * jnp.sqrt(ddim.alphas_prev[0] / ddim.alphas[k - 1])
+            np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=2e-5)
+        full = loop(eps_fn, ddim, x)
+        k_full = loop(eps_fn, ddim, x, start_index=ddim.num_steps)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(k_full))
+        with pytest.raises(ValueError):
+            loop(eps_fn, ddim, x, start_index=0)
+        with pytest.raises(ValueError):
+            loop(eps_fn, ddim, x, start_index=6)
 
 
 @pytest.mark.slow
@@ -142,6 +171,37 @@ def test_dpm_volume_stream_and_cfg():
     plms_vol = ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="plms")
     assert np.isfinite(np.asarray(plms_vol)).all()
     assert np.abs(np.asarray(plms_vol) - np.asarray(vol)).max() > 0
+
+
+@pytest.mark.slow
+def test_dpm_warm_start_composes():
+    """warm_start + sampler='dpm' compounds the two speed knobs: slice 0
+    runs the full solver chain (bit-identical to the cold dpm route),
+    later slices run only the last round(f·S) nodes from the q-noised
+    previous slice.  Streaming shares _volume_slice_step so it must match
+    bit-for-bit; CFG extends the same carries."""
+    ldm = _tiny_ldm(timesteps=20)
+    params = _randomize_head(ldm.init_params(jax.random.key(0), 16))
+    ddim = DDIMParams.create(ldm.diffusion, 4)
+    mask = jnp.ones((1, 3, 16, 16, 1)) * 0.5
+    cold = ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="dpm")
+    warm = ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="dpm",
+                             warm_start=0.5)
+    assert warm.shape == (1, 3, 16, 16, 1) and np.isfinite(np.asarray(warm)).all()
+    np.testing.assert_array_equal(np.asarray(cold[:, 0]), np.asarray(warm[:, 0]))
+    assert np.abs(np.asarray(cold[:, 1:]) - np.asarray(warm[:, 1:])).max() > 0
+    streamed = jnp.stack(
+        list(ldm.stream_volume(params, jax.random.key(1), mask, ddim, sampler="dpm",
+                               warm_start=0.5)), axis=1)
+    np.testing.assert_array_equal(np.asarray(warm), np.asarray(streamed))
+    warm_cfg = ldm.sample_volume(params, jax.random.key(1), mask, ddim, sampler="dpm",
+                                 warm_start=0.5, guidance_scale=2.0)
+    assert np.isfinite(np.asarray(warm_cfg)).all()
+    assert np.abs(np.asarray(warm_cfg) - np.asarray(warm)).max() > 0
+    # plms rides the same composed route
+    warm_plms = ldm.sample_volume(params, jax.random.key(1), mask, ddim,
+                                  sampler="plms", warm_start=0.5)
+    assert np.isfinite(np.asarray(warm_plms)).all()
 
 
 @pytest.mark.slow
