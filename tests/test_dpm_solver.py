@@ -233,17 +233,29 @@ def test_latent_volume_dpm():
         list(model.stream_volume(params, fs_params, jax.random.key(3), mask, ddim,
                                  cond_ae_params=cs_params, sampler="dpm")), axis=1)
     np.testing.assert_allclose(np.asarray(vol), np.asarray(streamed), atol=2e-5)
+    # warm_start composes on the LATENT route too: slice 0 is the same full
+    # chain (same math; allclose not bit-equal because the warm path unrolls
+    # slice 0 out of the scan → a differently-fused program), later slices
+    # run the truncated solver from the q-noised previous LATENT
+    warm = model.sample_volume(params, fs_params, jax.random.key(3), mask, ddim,
+                               cond_ae_params=cs_params, sampler="dpm",
+                               warm_start=0.5)
+    assert np.isfinite(np.asarray(warm)).all()
+    np.testing.assert_allclose(np.asarray(vol[:, 0]), np.asarray(warm[:, 0]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(vol[:, 1:]) - np.asarray(warm[:, 1:])).max() > 1e-3
 
 
 @pytest.mark.slow
 def test_sampler_config_key_ct_cli(tmp_path):
-    """`sampler: dpm` in the sample config routes end to end (stage: ct)."""
+    """`sampler: dpm` + `warm_start` in the sample config route end to end
+    (stage: ct) — the composed beyond-reference knobs at the CLI surface."""
     from jointimagegeneration_tpu.cli import sample as sample_cli
 
     cfg = {
         "stage": "ct", "n_cases": 1, "ddim_steps": 4, "seed": 5, "metrics": False,
         "output_path": str(tmp_path / "samples"),
-        "sampler": "dpm",
+        "sampler": "dpm", "warm_start": 0.5,
         "stage2": {
             "timesteps": 8, "bf16": False, "slice_size": 16,
             "unet": {"model_channels": 8, "channel_mult": [1, 2], "attention_resolutions": [],
