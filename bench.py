@@ -248,6 +248,23 @@ def bench_e2e():
     dt_dpm = time_chain(run_dpm, (ms_params, ldm_params, jax.random.key(5)), iters=1)
     emit(f"e2e_two_stage_dpm20_{n_slices}x{size}x{size}_seconds", dt_dpm, "s")
 
+    # composed fast route: dpm-20 + warm_start 0.4 (solver runs only its
+    # last 8 nodes per slice, seeded from the q-noised previous slice) —
+    # measured zero composition overhead; 128-slice fit 14.8 s single chip
+    # (BENCH_NOTES round 3, scripts/probe_dpm_warm.py)
+    @jax.jit
+    def run_dpm_warm(ms_params, ldm_params, key):
+        ct, labels = pipe(
+            ms_params, ldm_params, key,
+            mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
+            ddim=dpm, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
+            sampler="dpm", warm_start=0.4,
+        )
+        return jnp.sum(ct) + jnp.sum(labels)
+
+    dt_warm = time_chain(run_dpm_warm, (ms_params, ldm_params, jax.random.key(6)), iters=1)
+    emit(f"e2e_two_stage_dpm20_warm04_{n_slices}x{size}x{size}_seconds", dt_warm, "s")
+
 
 def main():
     which = os.environ.get("BENCH_METRICS", "all")
