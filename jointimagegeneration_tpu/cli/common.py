@@ -25,9 +25,39 @@ __all__ = [
     "build_mask_sampler", "build_slice_ldm", "build_mask_dataset",
     "build_slice_dataset", "build_autoencoder", "build_dino_feature_fn",
     "feature_cond", "load_ae_params", "build_latent_ldm", "LATENT_SCALE_FILE",
+    "maybe_init_from",
 ]
 
 LATENT_SCALE_FILE = "latent_scale.json"
+
+
+def maybe_init_from(cfg: dict, params, resume_key: str = "load_from"):
+    """Apply `init_from:` warm-start surgery to freshly-initialised params
+    (the reference's `ckpt_path` + `ignore_keys` [+ only_model] config
+    route into init_from_ckpt, ddpm.py:187-203 / main.py:739-741).
+
+    Accepts `init_from: <path>` or
+    `init_from: {path, ignore_keys: [prefix…], only_model: bool,
+    source: params|ema_params}`.  Ignored (with a note) when the run is
+    RESUMING from its own checkpoints — resume restores the full state
+    later and must win, matching Lightning's resume_from_checkpoint
+    precedence."""
+    spec = cfg.get("init_from")
+    if not spec:
+        return params
+    if cfg.get(resume_key) or cfg.get("resume"):
+        print("init_from: ignored — run is resuming from its own checkpoints")
+        return params
+    if isinstance(spec, str):
+        spec = {"path": spec}
+    from ..core.checkpoint import load_partial
+
+    return load_partial(
+        params, spec["path"],
+        ignore_keys=tuple(spec.get("ignore_keys", ())),
+        only_model=bool(spec.get("only_model", False)),
+        source=spec.get("source", "params"),
+    )
 
 
 def build_latent_ldm(s2: dict, inner, size: int):

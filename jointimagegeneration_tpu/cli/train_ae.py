@@ -24,7 +24,7 @@ from ..nn.discriminators import PatchDiscriminator
 from ..parallel.mesh import is_chief, make_mesh_for_batch, replicate
 from ..train import build_optimizer
 from ..train.gan import GANTrainState, make_autoencoder_train_step
-from .common import build_slice_dataset
+from .common import build_slice_dataset, maybe_init_from
 
 
 def main(argv=None):
@@ -71,6 +71,9 @@ def main(argv=None):
     else:
         g_params = model.init(jax.random.key(0), jnp.zeros(shape), jax.random.key(1))
     d_params = disc.init(jax.random.key(2), jnp.zeros(shape))
+    # `init_from:` finetune surgery on the generator (the reference AEs'
+    # ckpt_path + ignore_keys route, ldm/models/autoencoder.py:33-47)
+    g_params = maybe_init_from(cfg, g_params)
     lr = m.get("base_learning_rate", 4.5e-6) * cfg.get("batch_size", 1) * mesh.devices.size
     g_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))
     d_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))

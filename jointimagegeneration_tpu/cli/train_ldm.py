@@ -32,6 +32,7 @@ from .common import (
     build_latent_ldm,
     build_slice_dataset,
     build_slice_ldm,
+    maybe_init_from,
 )
 
 
@@ -100,6 +101,9 @@ def main(argv=None):
     )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"stage-2 UNet params: {n_params/1e6:.2f}M, lr={lr:.2e}")
+    # ckpt_path/ignore_keys finetune route (the flagship config is
+    # literally "from_controlnet" — ddpm.py:187-203 surgery)
+    params = maybe_init_from(cfg, params, resume_key="resume")
     # LitEma warmup decay semantics (ldm/modules/ema.py:33-35)
     state = EMATrainState.create(params, tx, ema_decay=0.9999, ema_warmup=True,
                                  skip_nonfinite=True)
@@ -191,6 +195,7 @@ def main(argv=None):
                 log_every=cfg.get("display_freq", 50),
                 save_every=cfg.get("save_freq", 1000),
                 eval_every=cfg.get("eval_every", 5000),
+                save_weights_every=cfg.get("save_weights_every"),
                 seed=cfg.get("seed", 0),
             ),
             state, step_fn, loader,

@@ -22,7 +22,12 @@ from ..eval.metrics import per_class_dice
 from ..parallel.mesh import make_mesh_for_batch, replicate
 from ..train import EMATrainState, build_optimizer, make_mask_train_step
 from ..train.trainer import Trainer, TrainerConfig
-from .common import build_dino_feature_fn, build_mask_dataset, build_mask_sampler
+from .common import (
+    build_dino_feature_fn,
+    build_mask_dataset,
+    build_mask_sampler,
+    maybe_init_from,
+)
 
 
 def main(argv=None):
@@ -70,6 +75,7 @@ def main(argv=None):
     )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"stage-1 UNet params: {n_params/1e6:.2f}M")
+    params = maybe_init_from(cfg, params)
     state = EMATrainState.create(params, tx, ema_decay=cfg.get("polyak_alpha", 0.9999))
 
     weights = cfg.get("class_weights", "uniform")
@@ -118,6 +124,7 @@ def main(argv=None):
                 log_every=cfg.get("display_freq", 50),
                 save_every=cfg.get("save_freq", 1000),
                 eval_every=cfg.get("validation_freq_steps", 1000),
+                save_weights_every=cfg.get("save_weights_every"),
                 seed=cfg.get("seed", 0),
             ),
             state, step_fn, loader,

@@ -26,9 +26,9 @@ before resuming if they must survive retention."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
-__all__ = ["CheckpointManager"]
+__all__ = ["CheckpointManager", "load_partial"]
 
 
 class CheckpointManager:
@@ -72,6 +72,25 @@ class CheckpointManager:
             self._best_mgr().save(
                 step, args=self._ocp.args.StandardSave(state), metrics={"score": float(score)}
             )
+
+    def _weights_mgr(self):
+        """Weight-only snapshot tree (the reference's opt-in
+        `metrics_over_trainsteps_checkpoint`: ModelCheckpoint with
+        save_top_k=-1 + save_weights_only=True every n train steps,
+        latentdiffusion/main.py:720-736) — keeps EVERY save, no FIFO."""
+        if getattr(self, "_weights", None) is None:
+            ocp = self._ocp
+            self._weights = ocp.CheckpointManager(
+                str(self.directory / "trainstep"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=None, create=True),
+            )
+        return self._weights
+
+    def save_weights(self, step: int, weights: Any) -> None:
+        """Unbounded weight-only snapshot (no optimizer state) under
+        `<root>/trainstep` — the reference prints the same disk-space
+        caution it carries (main.py:721-722)."""
+        self._weights_mgr().save(step, args=self._ocp.args.StandardSave(weights))
 
     def _manager_for(self, step: int):
         if step in self._roll.all_steps():
@@ -124,16 +143,117 @@ class CheckpointManager:
         return self._best_mgr().best_step()
 
     def all_steps(self) -> dict:
-        """{'rolling': [...], 'best': [...]} retained steps (for tests/CLI)."""
+        """{'rolling': [...], 'best': [...], 'trainstep': [...]} retained
+        steps (for tests/CLI)."""
         best = sorted(self._best_mgr().all_steps()) if (self.directory / "best").exists() else []
-        return {"rolling": sorted(self._roll.all_steps()), "best": best}
+        weights = (sorted(self._weights_mgr().all_steps())
+                   if (self.directory / "trainstep").exists() else [])
+        return {"rolling": sorted(self._roll.all_steps()), "best": best, "trainstep": weights}
 
     def wait(self) -> None:
         self._roll.wait_until_finished()
         if self._best is not None:
             self._best.wait_until_finished()
+        if getattr(self, "_weights", None) is not None:
+            self._weights.wait_until_finished()
 
     def close(self) -> None:
         self._roll.close()
         if self._best is not None:
             self._best.close()
+        if getattr(self, "_weights", None) is not None:
+            self._weights.close()
+
+
+def _wrapped_view(tree: Any) -> tuple[dict, bool]:
+    """Normalize a params tree to the {'unet': …, …} wrapped layout.
+
+    Both models return either bare flax variables or a wrapped dict
+    ({'unet': vars, 'refiner'|'logvar': …} — models/mask_sampler.py
+    init_params, models/slice_ldm.py init_params); matching in wrapped
+    view lets a bare-source checkpoint load into a wrapped template and
+    vice versa."""
+    if isinstance(tree, dict) and "unet" in tree:
+        return dict(tree), False
+    return {"unet": tree}, True
+
+
+def load_partial(
+    template: Any,
+    path,
+    ignore_keys: Sequence[str] = (),
+    only_model: bool = False,
+    source: str = "params",
+    verbose: bool = True,
+) -> Any:
+    """Warm-start weight surgery — the reference's `init_from_ckpt`
+    (ldm/models/diffusion/ddpm.py:187-203, wired from the `ckpt_path` +
+    `ignore_keys` config keys; ccdm analog: partial `load()` objects).
+
+    Restores `source` ('params' or 'ema_params'; falls back across the
+    {params, ema_params, g_params} layouts this repo writes), drops every
+    leaf whose '/'-joined path starts with one of the `ignore_keys`
+    prefixes (printed, like the reference's "Deleting key" lines), then
+    maps the remainder onto `template` NON-STRICTLY: paths present in
+    both with equal shapes load; template leaves with no (surviving)
+    source keep their fresh-init values; source-only and shape-mismatched
+    leaves are dropped.  Missing/unexpected counts are reported like
+    torch's strict=False load.  `only_model=True` restricts overwrites to
+    the UNet subtree (the reference's `self.model.load_state_dict`
+    branch), leaving e.g. a text refiner or logvar at fresh init."""
+    import flax.serialization
+    import flax.traverse_util
+    import numpy as np
+
+    raw = CheckpointManager(path).restore_raw()
+    src = None
+    for k in (source, "params", "ema_params", "g_params"):
+        if isinstance(raw, dict) and k in raw:
+            if verbose and k != source:
+                print(f"init_from: no '{source}' in checkpoint — using '{k}'")
+            src = raw[k]
+            break
+    if src is None:
+        raise KeyError(
+            f"checkpoint at {path!r} has none of params/ema_params/g_params "
+            f"(top-level keys: {list(raw)[:8] if isinstance(raw, dict) else type(raw)})")
+
+    tpl_view, tpl_bare = _wrapped_view(flax.serialization.to_state_dict(template))
+    src_view, _ = _wrapped_view(flax.serialization.to_state_dict(src))
+    tpl_flat = flax.traverse_util.flatten_dict(tpl_view, sep="/")
+    src_flat = flax.traverse_util.flatten_dict(src_view, sep="/")
+
+    # accept torch-style dotted prefixes too ("unet.params.out")
+    ignore_keys = tuple(ik.replace(".", "/") for ik in ignore_keys)
+    for k in [k for k in src_flat if any(k.startswith(ik) for ik in ignore_keys)]:
+        if verbose:
+            print(f"init_from: deleting key {k} from checkpoint")
+        del src_flat[k]
+
+    merged, loaded, mismatched = dict(tpl_flat), 0, []
+    for k, v in src_flat.items():
+        if k not in tpl_flat:
+            continue
+        if only_model and not k.startswith("unet/"):
+            continue
+        t = tpl_flat[k]
+        if hasattr(t, "shape") and tuple(np.shape(v)) != tuple(t.shape):
+            mismatched.append(k)
+            continue
+        merged[k] = v
+        loaded += 1
+    missing = [k for k in tpl_flat if k not in src_flat]
+    unexpected = [k for k in src_flat if k not in tpl_flat]
+    if verbose:
+        print(f"init_from: restored {loaded}/{len(tpl_flat)} leaves from {path} "
+              f"({len(missing)} missing, {len(unexpected)} unexpected, "
+              f"{len(mismatched)} shape-mismatched)")
+        for name, keys in (("missing", missing), ("unexpected", unexpected),
+                           ("shape-mismatched", mismatched)):
+            if keys:
+                print(f"init_from: {name} keys: {keys[:10]}{' …' if len(keys) > 10 else ''}")
+    out = flax.traverse_util.unflatten_dict(merged, sep="/")
+    out = out["unet"] if tpl_bare else out
+    import jax
+
+    return jax.device_put(flax.serialization.from_state_dict(template, out))

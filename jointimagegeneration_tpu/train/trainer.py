@@ -46,6 +46,10 @@ class TrainerConfig:
     keep_checkpoints: int = 3  # ignite n_saved=3
     keep_best: int = 1  # best-by-score savers kept (trainer.py:559-567; LDM top-k)
     best_mode: str = "max"  # 'max' for Dice / negated val-loss scores
+    # weight-only snapshots kept forever (LDM metrics_over_trainsteps_checkpoint:
+    # save_top_k=-1 + save_weights_only, main.py:720-736); None = off (default,
+    # as in the reference where the callback is opt-in)
+    save_weights_every: Optional[int] = None
     seed: int = 0
 
 
@@ -90,12 +94,20 @@ class Trainer:
                 cfg_dir.mkdir(parents=True, exist_ok=True)
                 with open(cfg_dir / "run-config.yaml", "w") as f:
                     yaml.safe_dump(run_config, f, default_flow_style=False, sort_keys=False)
-        # SIGUSR1 -> checkpoint now (latentdiffusion/main.py:784-795 melk)
+        # SIGUSR1 -> checkpoint now (latentdiffusion/main.py:784-795 melk);
+        # SIGUSR2 -> drop into the debugger (main.py:798-801 divein)
         self._usr1 = False
         try:
             signal.signal(signal.SIGUSR1, lambda *_: setattr(self, "_usr1", True))
+            signal.signal(signal.SIGUSR2, self._divein)
         except (ValueError, OSError):
             pass  # not in main thread
+
+    @staticmethod
+    def _divein(*_):
+        import pdb
+
+        pdb.set_trace()
 
     def _log(self, step: int, metrics: dict, prefix: str = "train/"):
         if self.logger:
@@ -139,6 +151,13 @@ class Trainer:
                     if step % cfg.save_every == 0 or self._usr1:
                         self.ckpt.save(step, jax.device_get(self.state))
                         self._usr1 = False
+
+                    if cfg.save_weights_every and step % cfg.save_weights_every == 0:
+                        self.ckpt.save_weights(step, jax.device_get({
+                            "params": self.state.params,
+                            "ema_params": self.state.ema_params,
+                            "step": self.state.step,
+                        }))
 
                     if self.eval_fn is not None and step % cfg.eval_every == 0:
                         score = self.eval_fn(self.state, step, self.logger)
