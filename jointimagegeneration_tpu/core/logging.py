@@ -30,6 +30,7 @@ class MetricLogger:
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.logdir / "metrics.jsonl", "a")
+        self._png_queue = []
         try:
             from tensorboardX import SummaryWriter
 
@@ -58,10 +59,28 @@ class MetricLogger:
         if self._wandb:
             self._wandb.log({k: v for k, v in rec.items() if k != "step"}, step=step)
 
+    # on-disk grid FIFO bound — the reference ImageLogger keeps at most 30
+    # PNGs per run and unlinks the oldest (latentdiffusion/main.py:356,381-385)
+    max_images = 30
+
     def image(self, step: int, name: str, img: np.ndarray) -> None:
-        """img: (H, W, 3) uint8."""
+        """img: (H, W, 3) uint8 — tensorboard panel + bounded PNG trail
+        under `<logdir>/images/` (ImageLogger.log_local parity)."""
         if self._tb:
             self._tb.add_image(name, img, step, dataformats="HWC")
+        try:
+            from PIL import Image
+
+            img_dir = self.logdir / "images"
+            img_dir.mkdir(exist_ok=True)
+            fname = f"{name.replace('/', '_')}_gs-{int(step):06d}.png"
+            Image.fromarray(np.asarray(img)).save(str(img_dir / fname))
+            self._png_queue.append(img_dir / fname)
+            while len(self._png_queue) > self.max_images:
+                old = self._png_queue.pop(0)
+                old.unlink(missing_ok=True)
+        except Exception:
+            pass  # PNG trail is best-effort; tb/JSONL remain authoritative
 
     def close(self):
         self._jsonl.close()

@@ -92,3 +92,20 @@ def test_summarize_trace_parses_device_lanes(tmp_path):
     by_op = summarize_trace(tmp_path, group="tf_op")
     assert by_op[0][0] == "UNet/res0/conv_general_dilated"
     assert summarize_trace(tmp_path / "nothing_here") == []
+
+
+def test_metric_logger_png_fifo(tmp_path):
+    """ImageLogger parity: PNG grids land in <logdir>/images/ with a
+    bounded FIFO of max_images files (latentdiffusion/main.py:356,381-385)."""
+    from jointimagegeneration_tpu.core.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path / "run")
+    img = np.zeros((4, 4, 3), np.uint8)
+    for s in range(35):
+        lg.image(s, "val/pred", img)
+    pngs = sorted((tmp_path / "run" / "images").glob("*.png"))
+    assert len(pngs) == lg.max_images
+    # oldest unlinked, newest kept
+    assert pngs[-1].name == "val_pred_gs-000034.png"
+    assert not (tmp_path / "run" / "images" / "val_pred_gs-000000.png").exists()
+    lg.close()
