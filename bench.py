@@ -227,7 +227,6 @@ def bench_e2e():
         e2e_128 = base + 128 * rate
     else:  # timing noise collapsed the two points — fall back to linear
         e2e_128 = dt * (128 / n_slices)
-    emit("e2e_extrapolated_128slice_256x256_seconds", e2e_128, "s")
 
     # beyond-reference route: DPM-Solver++(2M) on uniform-log-SNR nodes at
     # 20 steps — reference per-slice semantics kept (pure noise per slice),
@@ -264,6 +263,11 @@ def bench_e2e():
 
     dt_warm = time_chain(run_dpm_warm, (ms_params, ldm_params, jax.random.key(6)), iters=1)
     emit(f"e2e_two_stage_dpm20_warm04_{n_slices}x{size}x{size}_seconds", dt_warm, "s")
+
+    # the north-star tracker line goes LAST: the driver records the final
+    # JSON line as the round's parsed headline (BENCH_r{N}.json), and the
+    # reference-semantics 128-slice figure is the comparable one
+    emit("e2e_extrapolated_128slice_256x256_seconds", e2e_128, "s")
 
 
 def main():
