@@ -150,6 +150,45 @@ def bench_stage1_train():
     emit_mfu("stage1_train", jstep, (state, batch, jax.random.key(9)), dt)
 
 
+def bench_stage2_train():
+    """Stage-2 train step at the reference train size (512², batch 1 —
+    ruijin-ldm_from_controlnet.yaml:12,73) plus the batched-256² leg: the
+    round-3 ladder (BENCH_NOTES) found per-sample cost is non-monotonic
+    in batch — b=2/4 lose 25%, b=8 WINS 2.35x (fills the 8-sublane tile
+    dim) — so the b=8 samples/s line is the recommended training
+    configuration at 256²-class shapes."""
+    from jointimagegeneration_tpu.models import SliceLDM
+    from jointimagegeneration_tpu.train import EMATrainState, build_optimizer, make_ldm_train_step
+
+    def run(size, batch):
+        model = SliceLDM.create(
+            image_channels=1, cond_channels=2, timesteps=1000,
+            model_channels=128, channel_mult=(1, 2, 4, 4, 5),
+            attention_resolutions=(32, 16, 8), num_res_blocks=2,
+            num_head_channels=32, dtype=jnp.bfloat16,
+        )
+        params = model.init_params(jax.random.key(1), size)
+        state = EMATrainState.create(params, build_optimizer("AdamW", 1e-4))
+        jstep = jax.jit(make_ldm_train_step(model), donate_argnums=(0,))
+        batch_d = {
+            "image": jnp.zeros((batch, size, size, 1)),
+            "cond": jnp.zeros((batch, size, size, 2)),
+        }
+        state, m = jstep(state, batch_d, jax.random.key(1))
+        _ = float(m["loss"])
+        n = 3
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, m = jstep(state, batch_d, jax.random.key(2 + i))
+        _ = float(m["loss"])
+        return (time.perf_counter() - t0) / n
+
+    dt = run(512, 1)
+    emit("stage2_train_steps_per_sec_512x512", 1.0 / dt, "steps/s")
+    dt8 = run(256, 8)
+    emit("stage2_train_samples_per_sec_256x256_batch8", 8.0 / dt8, "samples/s")
+
+
 def _stage2(size, ddim_steps):
     from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
     from jointimagegeneration_tpu.models import SliceLDM
@@ -275,7 +314,7 @@ def main():
     bench_stage1_denoise()
     if which == "primary":
         return
-    for fn in (bench_stage1_train, bench_stage2_ddim, bench_e2e):
+    for fn in (bench_stage1_train, bench_stage2_train, bench_stage2_ddim, bench_e2e):
         try:
             fn()
         except Exception as e:  # keep emitting the remaining metrics
