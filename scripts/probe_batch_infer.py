@@ -12,10 +12,15 @@ If b=8 shows the same flip, single-chip multi-volume serving
 (`batch: 8`) delivers >2x aggregate throughput with unchanged semantics.
 
 Run (TPU, one process at a time):
-  PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/probe_batch_infer.py
+  PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/probe_batch_infer.py [size] [b1 b2 ...]
+
+Measured (round-3 continuation, v5e-1): 256² b=8 WINS 1.55x/sample
+(7.97 ms vs 12.36 ms; b=16 plateaus at 7.91), b=2/4 lose 0.60-0.67x —
+the same tile-shaped flip as the train ladder.
 """
 
 import os
+import sys
 import time
 
 import jax
@@ -29,7 +34,9 @@ if jax.default_backend() != "cpu":
 from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
 from jointimagegeneration_tpu.models import SliceLDM
 
-SIZE, STEPS = 256, 50
+SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+LADDER = tuple(int(a) for a in sys.argv[2:]) or (1, 2, 4, 8, 16)
+STEPS = 50
 
 
 def main():
@@ -42,7 +49,7 @@ def main():
     params = model.init_params(jax.random.key(1), SIZE)
     ddim = DDIMParams.create(model.diffusion, STEPS)
     results = {}
-    for b in (1, 2, 4, 8, 16):
+    for b in LADDER:
         cond = jnp.zeros((b, SIZE, SIZE, 2), jnp.bfloat16)
 
         @jax.jit
