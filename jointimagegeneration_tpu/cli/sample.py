@@ -146,9 +146,10 @@ def main(argv=None):
     t_start = time.perf_counter()
     if stage == "mask":
         # multi-volume sampling: cases run in batches of `batch_size`, the
-        # batch axis sharded over the mesh's data axis — one volume per chip
-        # (BASELINE milestone #5; per-chip batching >1 measurably HURTS on a
-        # single chip, BENCH_NOTES).  batch_size=1 is the single-device path.
+        # batch axis sharded over the mesh's data axis (BASELINE milestone
+        # #5).  Per-chip batching is NON-monotonic on v5e (BENCH_NOTES
+        # inference ladder): 8 per chip WINS 1.55x/sample, 2-4 LOSE — use
+        # batch_size = 8 × n_chips or 1 × n_chips, nothing between.
         ds = build_mask_dataset(cfg.get("stage1", cfg), "val")
         bs = int(cfg.get("batch_size", 1))
         n_rep = cfg.get("samples", 1)  # GED protocol (params.yml:26)
