@@ -219,6 +219,31 @@ def bench_stage2_ddim():
     emit_mfu("stage2_ddim", run, (params, jax.random.key(2)), dt / chain)
 
 
+def bench_serving_batch8():
+    """Aggregate multi-volume serving throughput: the 50-step DDIM slice
+    chain at 256² with 8 volumes resident on ONE chip — the measured
+    batching sweet spot (BENCH_NOTES inference ladder: b=8 is
+    1.55x/sample vs one-at-a-time; b=2/4 lose; the flip holds at 512²).
+    Same program as scripts/probe_batch_infer.py so the persistent cache
+    is shared."""
+    size, steps, b = 256, 50, 8
+    model, params, ddim = _stage2(size, steps)
+    cond = jnp.zeros((b, size, size, 2), jnp.bfloat16)
+
+    @jax.jit
+    def run(params, key):
+        s = model.sample_slice(params, key, cond, ddim)
+        return jnp.sum(s)
+
+    dt = time_chain(run, params, jax.random.key(2))
+    agg = b * steps / dt  # sample-steps/s
+    emit("serving_sample_steps_per_sec_256x256_batch8", agg, "sample-steps/s")
+    # amortized per-volume latency for the 128-slice ddim-50 volume when
+    # serving 8 concurrently (stage-2 share only; mask stage adds ~3 s)
+    emit("serving_amortized_seconds_per_128slice_volume_batch8",
+         128 * steps / agg, "s/volume")
+
+
 def bench_e2e():
     """25-step mask at 64x128x128 -> nearest-upsample -> 16 slices of 256^2
     at 50 DDIM steps (one scan program), extrapolated to the 128-slice
@@ -314,7 +339,8 @@ def main():
     bench_stage1_denoise()
     if which == "primary":
         return
-    for fn in (bench_stage1_train, bench_stage2_train, bench_stage2_ddim, bench_e2e):
+    for fn in (bench_stage1_train, bench_stage2_train, bench_stage2_ddim,
+               bench_serving_batch8, bench_e2e):
         try:
             fn()
         except Exception as e:  # keep emitting the remaining metrics
