@@ -160,7 +160,7 @@ def bench_stage2_train():
     from jointimagegeneration_tpu.models import SliceLDM
     from jointimagegeneration_tpu.train import EMATrainState, build_optimizer, make_ldm_train_step
 
-    def run(size, batch):
+    def run(size, batch, name, rate_metric, rate_unit, rate_fn):
         model = SliceLDM.create(
             image_channels=1, cond_channels=2, timesteps=1000,
             model_channels=128, channel_mult=(1, 2, 4, 4, 5),
@@ -181,12 +181,18 @@ def bench_stage2_train():
         for i in range(n):
             state, m = jstep(state, batch_d, jax.random.key(2 + i))
         _ = float(m["loss"])
-        return (time.perf_counter() - t0) / n
+        dt = (time.perf_counter() - t0) / n
+        emit(rate_metric, rate_fn(dt), rate_unit)
+        # MFU from cost analysis of the exact compiled step.  Emitted inside
+        # run() so the big train state stays local and is freed before the
+        # next leg allocates its own (keeping both resident can OOM the b=8
+        # leg on a 16 GB chip).
+        emit_mfu(name, jstep, (state, batch_d, jax.random.key(9)), dt)
 
-    dt = run(512, 1)
-    emit("stage2_train_steps_per_sec_512x512", 1.0 / dt, "steps/s")
-    dt8 = run(256, 8)
-    emit("stage2_train_samples_per_sec_256x256_batch8", 8.0 / dt8, "samples/s")
+    run(512, 1, "stage2_train", "stage2_train_steps_per_sec_512x512",
+        "steps/s", lambda dt: 1.0 / dt)
+    run(256, 8, "stage2_train_batch8", "stage2_train_samples_per_sec_256x256_batch8",
+        "samples/s", lambda dt: 8.0 / dt)
 
 
 def _stage2(size, ddim_steps):
@@ -292,41 +298,46 @@ def bench_e2e():
     else:  # timing noise collapsed the two points — fall back to linear
         e2e_128 = dt * (128 / n_slices)
 
-    # beyond-reference route: DPM-Solver++(2M) on uniform-log-SNR nodes at
-    # 20 steps — reference per-slice semantics kept (pure noise per slice),
-    # ~2.4x fewer UNet calls per slice; accuracy vs the converged ODE
-    # solution is BETTER than ddim-50/uniform (BENCH_NOTES round 3)
-    dpm = DDIMParams.create(ldm.diffusion, 20, method="uniform_lambda")
+    # beyond-reference routes, each fenced so a failure here cannot suppress
+    # the headline line below (the driver parses the FINAL json line):
+    # DPM-Solver++(2M) on uniform-log-SNR nodes at 20 steps — reference
+    # per-slice semantics kept (pure noise per slice), ~2.4x fewer UNet
+    # calls per slice; accuracy vs the converged ODE solution is BETTER
+    # than ddim-50/uniform (BENCH_NOTES round 3)
+    try:
+        dpm = DDIMParams.create(ldm.diffusion, 20, method="uniform_lambda")
 
-    @jax.jit
-    def run_dpm(ms_params, ldm_params, key):
-        ct, labels = pipe(
-            ms_params, ldm_params, key,
-            mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
-            ddim=dpm, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
-            sampler="dpm",
-        )
-        return jnp.sum(ct) + jnp.sum(labels)
+        @jax.jit
+        def run_dpm(ms_params, ldm_params, key):
+            ct, labels = pipe(
+                ms_params, ldm_params, key,
+                mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
+                ddim=dpm, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
+                sampler="dpm",
+            )
+            return jnp.sum(ct) + jnp.sum(labels)
 
-    dt_dpm = time_chain(run_dpm, (ms_params, ldm_params, jax.random.key(5)), iters=1)
-    emit(f"e2e_two_stage_dpm20_{n_slices}x{size}x{size}_seconds", dt_dpm, "s")
+        dt_dpm = time_chain(run_dpm, (ms_params, ldm_params, jax.random.key(5)), iters=1)
+        emit(f"e2e_two_stage_dpm20_{n_slices}x{size}x{size}_seconds", dt_dpm, "s")
 
-    # composed fast route: dpm-20 + warm_start 0.4 (solver runs only its
-    # last 8 nodes per slice, seeded from the q-noised previous slice) —
-    # measured zero composition overhead; 128-slice fit 14.8 s single chip
-    # (BENCH_NOTES round 3, scripts/probe_dpm_warm.py)
-    @jax.jit
-    def run_dpm_warm(ms_params, ldm_params, key):
-        ct, labels = pipe(
-            ms_params, ldm_params, key,
-            mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
-            ddim=dpm, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
-            sampler="dpm", warm_start=0.4,
-        )
-        return jnp.sum(ct) + jnp.sum(labels)
+        # composed fast route: dpm-20 + warm_start 0.4 (solver runs only its
+        # last 8 nodes per slice, seeded from the q-noised previous slice) —
+        # measured zero composition overhead; 128-slice fit 14.8 s single chip
+        # (BENCH_NOTES round 3, scripts/probe_dpm_warm.py)
+        @jax.jit
+        def run_dpm_warm(ms_params, ldm_params, key):
+            ct, labels = pipe(
+                ms_params, ldm_params, key,
+                mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
+                ddim=dpm, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
+                sampler="dpm", warm_start=0.4,
+            )
+            return jnp.sum(ct) + jnp.sum(labels)
 
-    dt_warm = time_chain(run_dpm_warm, (ms_params, ldm_params, jax.random.key(6)), iters=1)
-    emit(f"e2e_two_stage_dpm20_warm04_{n_slices}x{size}x{size}_seconds", dt_warm, "s")
+        dt_warm = time_chain(run_dpm_warm, (ms_params, ldm_params, jax.random.key(6)), iters=1)
+        emit(f"e2e_two_stage_dpm20_warm04_{n_slices}x{size}x{size}_seconds", dt_warm, "s")
+    except Exception as e:
+        print(json.dumps({"metric": "e2e_dpm_legs", "error": str(e)[:200]}), flush=True)
 
     # the north-star tracker line goes LAST: the driver records the final
     # JSON line as the round's parsed headline (BENCH_r{N}.json), and the

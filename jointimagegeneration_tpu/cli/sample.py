@@ -150,7 +150,7 @@ def main(argv=None):
         # #5).  Per-chip batching is NON-monotonic on v5e (BENCH_NOTES
         # inference ladder): 8 per chip WINS 1.55x/sample, 2-4 LOSE — use
         # batch_size = 8 × n_chips or 1 × n_chips, nothing between.
-        ds = build_mask_dataset(cfg.get("stage1", cfg), "val")
+        ds = build_mask_dataset(cfg.get("stage1", cfg), cfg.get("split", "val"))
         bs = int(cfg.get("batch_size", 1))
         n_rep = cfg.get("samples", 1)  # GED protocol (params.yml:26)
         mesh = None
@@ -266,7 +266,7 @@ def main(argv=None):
     # `wholeimage` GT volume, off with `metrics: false`
     gen_vols, gt_vols, lpips_vals = [], [], []
     lp_metric = None
-    ds = build_slice_dataset(cfg.get("stage2", cfg), "val")
+    ds = build_slice_dataset(cfg.get("stage2", cfg), cfg.get("split", "val"))
     for i in range(n_cases):  # stage == "ct": per-case autoregressive volumes
         key, sub = jax.random.split(key)
         case_dir = outdir / f"case_{i:04d}"
@@ -289,10 +289,11 @@ def main(argv=None):
                     sampler=cfg.get("sampler", s2.get("sampler", "ddim")),
                 )
                 vol = np.asarray(vol[0, ..., 0])
-            elif cfg.get("sampler", "ddim") == "plms" and "cond" in item:
-                s = ldm.sample_slice_plms(ldm_params, sub, jnp.asarray(item["cond"])[None], ddim)
-                vol = np.asarray(s[0, ..., 0])[None]
             else:
+                # NB: `sampler: plms` routes through the same autoregressive
+                # sample_volume as ddim/dpm (so warm_start/guidance/tile all
+                # apply) — single-slice PLMS is a library call
+                # (SliceLDM.sample_slice_plms), not a CLI route.
                 mask = jnp.asarray(item["wholemask"])[None]
                 # apply_model-level fold/unfold for oversized slices
                 # (ddpm.py:915-997): tile: {patch: [ph,pw], stride: [sh,sw]}

@@ -219,16 +219,30 @@ def load_partial(
             f"(top-level keys: {list(raw)[:8] if isinstance(raw, dict) else type(raw)})")
 
     tpl_view, tpl_bare = _wrapped_view(flax.serialization.to_state_dict(template))
-    src_view, _ = _wrapped_view(flax.serialization.to_state_dict(src))
+    src_view, src_bare = _wrapped_view(flax.serialization.to_state_dict(src))
     tpl_flat = flax.traverse_util.flatten_dict(tpl_view, sep="/")
     src_flat = flax.traverse_util.flatten_dict(src_view, sep="/")
 
     # accept torch-style dotted prefixes too ("unet.params.out")
     ignore_keys = tuple(ik.replace(".", "/") for ik in ignore_keys)
-    for k in [k for k in src_flat if any(k.startswith(ik) for ik in ignore_keys)]:
-        if verbose:
-            print(f"init_from: deleting key {k} from checkpoint")
-        del src_flat[k]
+    # For a bare source the 'unet/' prefix is synthetic (_wrapped_view), so
+    # ignore keys are matched against the natural bare path as well —
+    # the reference matches keys as they appear in the actual state dict
+    # (ddpm.py:195-199); requiring the synthetic prefix would make e.g.
+    # ignore_keys: [params/decoder] silently delete nothing.
+    matched = {ik: 0 for ik in ignore_keys}
+    for k in list(src_flat):
+        views = (k, k[len("unet/"):]) if src_bare and k.startswith("unet/") else (k,)
+        hits = [ik for ik in ignore_keys if any(v.startswith(ik) for v in views)]
+        if hits:
+            for ik in hits:
+                matched[ik] += 1
+            if verbose:
+                print(f"init_from: deleting key {k} from checkpoint")
+            del src_flat[k]
+    for ik, n in matched.items():
+        if n == 0 and verbose:
+            print(f"init_from: WARNING — ignore key {ik!r} matched no checkpoint leaves")
 
     merged, loaded, mismatched = dict(tpl_flat), 0, []
     for k, v in src_flat.items():

@@ -30,7 +30,14 @@ class MetricLogger:
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.logdir / "metrics.jsonl", "a")
-        self._png_queue = []
+        # seed the PNG FIFO from files already on disk so the 30-file bound
+        # holds per RUN DIRECTORY across resumes (the reference ImageLogger's
+        # bound is per logdir, main.py:381-385), oldest first
+        try:
+            self._png_queue = sorted((self.logdir / "images").glob("*.png"),
+                                     key=lambda p: p.stat().st_mtime)
+        except Exception:
+            self._png_queue = []
         try:
             from tensorboardX import SummaryWriter
 
@@ -75,7 +82,13 @@ class MetricLogger:
             img_dir.mkdir(exist_ok=True)
             fname = f"{name.replace('/', '_')}_gs-{int(step):06d}.png"
             Image.fromarray(np.asarray(img)).save(str(img_dir / fname))
-            self._png_queue.append(img_dir / fname)
+            path = img_dir / fname
+            # re-logging the same (name, step) overwrites one file — keep a
+            # single queue entry (a duplicate would later unlink a file a
+            # newer entry still counts as retained)
+            if path in self._png_queue:
+                self._png_queue.remove(path)
+            self._png_queue.append(path)
             while len(self._png_queue) > self.max_images:
                 old = self._png_queue.pop(0)
                 old.unlink(missing_ok=True)

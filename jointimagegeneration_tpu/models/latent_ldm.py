@@ -220,7 +220,7 @@ class LatentSliceLDM:
         SliceLDM.sample_volume; `warm_start` composes (the solver runs
         only its last round(f·S) nodes from the q-noised previous
         latent), compounding the two speedups."""
-        SliceLDM._check_sampler(sampler, None, warm_start)
+        SliceLDM._check_sampler(sampler, None)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
@@ -346,7 +346,7 @@ class LatentSliceLDM:
         per-slice programs are cached on the instance, keyed by CFG
         ON/OFF, warm index, and sampler only — the scale itself is a
         traced argument, so varying it never retraces)."""
-        SliceLDM._check_sampler(sampler, None, warm_start)
+        SliceLDM._check_sampler(sampler, None)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))

@@ -199,6 +199,12 @@ class MaskSampler:
 
         Starts from a uniform categorical draw (evaluator.py:136) unless
         `x_init` is given.  Returns the one-hot decode at t=1.
+
+        `x_init` is consumed as LABELS: the scan carries integer labels, so
+        a non-one-hot (soft) x_init is collapsed via argmax before the first
+        denoise step rather than fed to the posterior as probabilities —
+        pass a one-hot draw (as the reference's evaluator does) for exact
+        reference semantics.
         """
         b = shape[0]
         t_values = jnp.asarray(sampling_t_values(self.diffusion.time_steps, num_steps))

@@ -435,7 +435,7 @@ class SliceLDM:
         return max(1, min(ddim.num_steps, int(round(f * ddim.num_steps))))
 
     @staticmethod
-    def _check_sampler(sampler, tile, warm_start):
+    def _check_sampler(sampler, tile):
         if sampler not in ("ddim", "plms", "dpm"):
             raise ValueError(f"unknown sampler {sampler!r}; expected 'ddim', 'plms' or 'dpm'")
         if sampler != "ddim" and tile is not None:
@@ -479,7 +479,7 @@ class SliceLDM:
         trade of `warm_start`.  `warm_start` COMPOSES with it (the solver
         runs only its last round(f·S) nodes from the q-noised previous
         slice), compounding the two speedups; `tile` stays DDIM-only."""
-        self._check_sampler(sampler, tile, warm_start)
+        self._check_sampler(sampler, tile)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
@@ -591,7 +591,7 @@ class SliceLDM:
         sampler only — the scale itself is a traced argument) so repeated
         streaming requests, even with varying guidance scales, never
         retrace."""
-        self._check_sampler(sampler, tile, warm_start)
+        self._check_sampler(sampler, tile)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))

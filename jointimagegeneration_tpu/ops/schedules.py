@@ -146,6 +146,15 @@ def ddim_timestep_subset(method: str, num_ddim: int, num_ddpm: int,
     elif method == "uniform_lambda":
         if alphas_cumprod is None:
             raise ValueError("uniform_lambda discretization needs alphas_cumprod")
+        if num_ddim > num_ddpm - 1:
+            # only T-1 candidate indices exist (candidates stop at T-2 so
+            # the +1 subset offset below stays in range) — num_ddim == T
+            # would silently come up short after dedup; full-chain sampling
+            # is what method='uniform' does exactly
+            raise ValueError(
+                f"uniform_lambda supports at most {num_ddpm - 1} steps for "
+                f"{num_ddpm} ddpm timesteps (got {num_ddim}); use 'uniform' "
+                "for a full-length chain")
         ac = np.asarray(alphas_cumprod, np.float64)
         # candidates stop at T-2: the +1 subset offset below indexes ac
         lam = 0.5 * (np.log(ac[: num_ddpm - 1]) - np.log1p(-ac[: num_ddpm - 1]))
@@ -157,6 +166,7 @@ def ddim_timestep_subset(method: str, num_ddim: int, num_ddpm: int,
         if missing > 0:
             unused = np.setdiff1d(np.arange(num_ddpm - 1), steps)
             steps = np.sort(np.concatenate([steps, unused[:missing]]))
+        assert len(steps) == num_ddim, (len(steps), num_ddim)
     else:
         raise ValueError(f"unknown ddim discretization {method!r}")
     return steps + 1

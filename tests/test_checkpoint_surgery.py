@@ -147,3 +147,27 @@ def test_load_partial_real_model_tree(tmp_path):
     out2 = load_partial(fresh, tmp_path / "ck")
     for a, b in zip(jax.tree.leaves(out2), jax.tree.leaves(trained)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ignore_keys_match_bare_source_paths(tmp_path, capsys):
+    """A BARE checkpoint (e.g. an AE generator: plain flax vars, no 'unet'
+    wrapper) must honour ignore_keys written as natural state-dict paths
+    ('params/decoder'), not the synthetic wrapped view — the reference
+    matches keys as they appear in the actual state dict (ddpm.py:195-199)."""
+    bare = {"params": {
+        "encoder": {"kernel": np.full((2, 2), 1.0, np.float32)},
+        "decoder": {"kernel": np.full((2, 2), 2.0, np.float32)},
+    }}
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(1, {"params": bare})
+    mgr.wait()
+    tpl = {"params": {
+        "encoder": {"kernel": np.zeros((2, 2), np.float32)},
+        "decoder": {"kernel": np.zeros((2, 2), np.float32)},
+    }}
+    out = load_partial(tpl, tmp_path / "ck", ignore_keys=("params/decoder",))
+    np.testing.assert_allclose(out["params"]["encoder"]["kernel"], 1.0)
+    np.testing.assert_allclose(out["params"]["decoder"]["kernel"], 0.0)  # dropped
+    # an ignore key that matches nothing warns instead of silently no-opping
+    load_partial(tpl, tmp_path / "ck", ignore_keys=("no/such/prefix",))
+    assert "matched no checkpoint leaves" in capsys.readouterr().out

@@ -109,3 +109,28 @@ def test_metric_logger_png_fifo(tmp_path):
     assert pngs[-1].name == "val_pred_gs-000034.png"
     assert not (tmp_path / "run" / "images" / "val_pred_gs-000000.png").exists()
     lg.close()
+
+
+def test_metric_logger_png_fifo_duplicates_and_restart(tmp_path):
+    """The FIFO bound is per run DIRECTORY: re-logging the same (name, step)
+    keeps one queue entry (no premature unlink of a retained file), and a
+    new MetricLogger over the same logdir counts pre-existing PNGs."""
+    from jointimagegeneration_tpu.core.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path / "run")
+    img = np.zeros((4, 4, 3), np.uint8)
+    for _ in range(3):  # duplicate (name, step) writes: one file, one entry
+        lg.image(5, "val/pred", img)
+    assert len(lg._png_queue) == 1
+    for s in range(20):
+        lg.image(s, "val/other", img)
+    assert (tmp_path / "run" / "images" / "val_pred_gs-000005.png").exists()
+    lg.close()
+    # simulated restart: the new logger seeds its queue from disk so the
+    # bound still holds across resumes
+    lg2 = MetricLogger(tmp_path / "run")
+    assert len(lg2._png_queue) == 21
+    for s in range(40):
+        lg2.image(s, "val/resumed", img)
+    assert len(list((tmp_path / "run" / "images").glob("*.png"))) == lg2.max_images
+    lg2.close()

@@ -96,6 +96,10 @@ def test_uniform_lambda_subset_properties():
         assert onp.all(onp.diff(sub) > 0)
     with pytest.raises(ValueError):
         sched.ddim_timestep_subset("uniform_lambda", 5, 1000)  # needs alphas_cumprod
+    with pytest.raises(ValueError):  # only T-1 candidate nodes exist
+        sched.ddim_timestep_subset("uniform_lambda", 1000, 1000, alphas_cumprod=ac)
+    assert len(sched.ddim_timestep_subset("uniform_lambda", 999, 1000,
+                                          alphas_cumprod=ac)) == 999
     # lambda spacing is near-uniform mid-chain
     sub = sched.ddim_timestep_subset("uniform_lambda", 20, 1000, alphas_cumprod=ac)
     lam = 0.5 * (onp.log(ac[sub]) - onp.log1p(-ac[sub]))
