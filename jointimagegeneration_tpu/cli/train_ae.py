@@ -83,6 +83,7 @@ def main(argv=None):
         disc_weight=loss_cfg.get("disc_weight", 0.5),
         disc_start=loss_cfg.get("disc_start", 50001),
         pixel_loss=loss_cfg.get("pixel_loss", "l1"),
+        disc_loss=loss_cfg.get("disc_loss", "hinge"),
     )
     if is_vq:
         from ..train.gan import make_vq_train_step
@@ -91,7 +92,11 @@ def main(argv=None):
             model, disc, codebook_weight=loss_cfg.get("codebook_weight", 1.0), **loss_kw)
     else:
         raw_step = make_autoencoder_train_step(
-            model, disc, kl_weight=loss_cfg.get("kl_weight", 1e-6), **loss_kw)
+            model, disc, kl_weight=loss_cfg.get("kl_weight", 1e-6),
+            # GAN feature-matching term of the reference 3D path
+            # (contperceptual.py:234-250; config key gan_feat_weight)
+            feature_matching_weight=loss_cfg.get("gan_feat_weight", 0.0),
+            **loss_kw)
     step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
     train_ds = build_slice_dataset(cfg, "train")
