@@ -244,6 +244,7 @@ def bench_serving_batch8():
     dt = time_chain(run, params, jax.random.key(2))
     agg = b * steps / dt  # sample-steps/s
     emit("serving_sample_steps_per_sec_256x256_batch8", agg, "sample-steps/s")
+    emit_mfu("serving_batch8", run, (params, jax.random.key(2)), dt / steps)
     # amortized per-volume latency for the 128-slice ddim-50 volume when
     # serving 8 concurrently (stage-2 share only; mask stage adds ~3 s)
     emit("serving_amortized_seconds_per_128slice_volume_batch8",
