@@ -15,7 +15,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "read_nifti_native", "window_norm_native", "remap_labels_native", "one_hot_native"]
+__all__ = ["native_available", "read_nifti_native", "write_nifti_native",
+           "window_norm_native", "remap_labels_native", "one_hot_native"]
 
 _LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "libjig_native.so"
 _lib = None
@@ -56,6 +57,16 @@ def _load():
         lib.jig_one_hot.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ]
+        try:  # absent from pre-writer builds of the .so — degrade to read-only
+            lib.jig_write_nifti.restype = ctypes.c_int32
+            lib.jig_write_nifti.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ]
+            lib._jig_has_write = True
+        except AttributeError:
+            lib._jig_has_write = False
         _lib = lib
     except OSError:
         _lib = None
@@ -124,3 +135,42 @@ def one_hot_native(labels: np.ndarray, num_classes: int) -> Optional[np.ndarray]
     lib.jig_one_hot(labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), labels.size, num_classes)
     return out
+
+
+# NIfTI datatype codes for the write path (subset the writer supports;
+# mirrors data/nifti.py _DTYPE_CODES)
+_WRITE_CODES = {
+    np.dtype(np.uint8): 2, np.dtype(np.int16): 4, np.dtype(np.int32): 8,
+    np.dtype(np.float32): 16, np.dtype(np.float64): 64,
+    np.dtype(np.int8): 256, np.dtype(np.uint16): 512, np.dtype(np.uint32): 768,
+    np.dtype(np.int64): 1024, np.dtype(np.uint64): 1280,
+}
+
+
+def write_nifti_native(path, data: np.ndarray, spacing=None, affine=None,
+                       level: int = 1) -> bool:
+    """Native .nii/.nii.gz write (header + C->Fortran transpose + deflate,
+    GIL-free).  Byte-compatible with data/nifti.py:write_nifti; `level` is
+    the gzip level (1 = fast, the right trade for noisy CT floats).
+    Returns False when the library (or this symbol) is unavailable so the
+    caller can fall back to the Python codec."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_jig_has_write", False):
+        return False
+    data = np.ascontiguousarray(data)
+    if data.dtype == np.bool_:
+        data = data.astype(np.uint8)
+    if data.dtype not in _WRITE_CODES:
+        data = np.ascontiguousarray(data, dtype=np.float32)
+    shape = (ctypes.c_int64 * data.ndim)(*data.shape)
+    spacing = tuple(spacing or (1.0,) * min(data.ndim, 3))
+    spc = (ctypes.c_float * len(spacing))(*[float(s) for s in spacing])
+    aff_ptr = None
+    if affine is not None:
+        rows = np.asarray(affine, np.float32)[:3].reshape(-1)
+        aff_ptr = (ctypes.c_float * 12)(*rows)
+    rc = lib.jig_write_nifti(
+        str(path).encode(), data.ctypes.data_as(ctypes.c_void_p), shape,
+        data.ndim, _WRITE_CODES[data.dtype], spc, len(spacing), aff_ptr,
+        int(level))
+    return rc == 0

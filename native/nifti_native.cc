@@ -206,3 +206,134 @@ extern "C" void jig_one_hot(const int32_t* labels, float* out, int64_t n, int32_
     out[i * num_classes + c] = 1.0f;
   }
 }
+
+// ---------------------------------------------------------------------------
+// jig_write_nifti: header build + C->Fortran transpose + gzip deflate, all
+// native and GIL-free (ctypes releases the GIL for the call's duration, so
+// the serving path's writer threads overlap volume writes with device
+// compute).  Mirrors the Python codec byte-for-byte
+// (data/nifti.py:write_nifti): 348-byte header + 4-byte extension flag,
+// vox_offset 352, scl 1/0, qform=sform=1 with diag(spacing) unless an
+// explicit 3x4 sform is given.  Reference writes via SimpleITK
+// (ccdm/ddpm/evaluator.py:141-148).
+// ---------------------------------------------------------------------------
+
+static int32_t jig_dtype_size(int32_t code) {
+  switch (code) {
+    case 2: case 256: return 1;
+    case 4: case 512: return 2;
+    case 8: case 16: case 768: return 4;
+    case 64: case 1024: case 1280: return 8;
+    default: return 0;
+  }
+}
+
+// data: C-ordered voxels (axis 0 slowest) with shape in the same axis order
+// the reader exposes; affine12: row-major 3x4 sform rows or NULL; level:
+// gzip 1..9 (.nii.gz only).
+extern "C" int32_t jig_write_nifti(const char* path, const void* data,
+                                   const int64_t* shape, int32_t ndim,
+                                   int32_t datatype_code,
+                                   const float* spacing, int32_t n_spacing,
+                                   const float* affine12, int32_t level) {
+  if (ndim < 1 || ndim > 7) return 1;
+  const int32_t isz = jig_dtype_size(datatype_code);
+  if (isz == 0) return 2;
+  int64_t n = 1;
+  for (int i = 0; i < ndim; ++i) n *= shape[i];
+  if (n <= 0) return 3;
+
+  // --- header (little-endian host assumed, as in jig_read_nifti) ---
+  uint8_t hdr[352];
+  memset(hdr, 0, sizeof(hdr));
+  const int32_t sizeof_hdr = 348;
+  memcpy(hdr, &sizeof_hdr, 4);
+  int16_t dim[8] = {(int16_t)ndim, 1, 1, 1, 1, 1, 1, 1};
+  for (int i = 0; i < ndim; ++i) dim[1 + i] = (int16_t)shape[i];
+  memcpy(hdr + 40, dim, 16);
+  const int16_t dt16 = (int16_t)datatype_code;
+  memcpy(hdr + 70, &dt16, 2);
+  const int16_t bitpix = (int16_t)(isz * 8);
+  memcpy(hdr + 72, &bitpix, 2);
+  float pixdim[8] = {1.f, 1.f, 1.f, 1.f, 1.f, 1.f, 1.f, 1.f};
+  for (int i = 0; i < n_spacing && i < 7; ++i) pixdim[1 + i] = spacing[i];
+  memcpy(hdr + 76, pixdim, 32);
+  const float vox_offset = 352.f, slope = 1.f, inter = 0.f;
+  memcpy(hdr + 108, &vox_offset, 4);
+  memcpy(hdr + 112, &slope, 4);
+  memcpy(hdr + 116, &inter, 4);
+  const int16_t one16 = 1;
+  memcpy(hdr + 252, &one16, 2);  // qform_code
+  memcpy(hdr + 254, &one16, 2);  // sform_code
+  float srow[12];
+  if (affine12) {
+    memcpy(srow, affine12, sizeof(srow));
+  } else {
+    memset(srow, 0, sizeof(srow));
+    for (int i = 0; i < 3; ++i)
+      srow[i * 4 + i] = (i < n_spacing && spacing) ? spacing[i] : 1.f;
+  }
+  memcpy(hdr + 280, srow, sizeof(srow));
+  memcpy(hdr + 344, "n+1\x00", 4);
+
+  // --- C -> Fortran voxel order (first axis fastest) ---
+  std::vector<uint8_t> payload((size_t)n * isz);
+  const uint8_t* src = (const uint8_t*)data;
+  if (ndim == 1) {
+    memcpy(payload.data(), src, (size_t)n * isz);
+  } else if (ndim == 3 && isz == 4) {
+    // hot case (f32/i32 volumes): inner loop over x writes sequentially
+    const int64_t nx = shape[0], ny = shape[1], nz = shape[2];
+    const uint32_t* s = (const uint32_t*)src;
+    uint32_t* d = (uint32_t*)payload.data();
+    for (int64_t z = 0; z < nz; ++z)
+      for (int64_t y = 0; y < ny; ++y) {
+        const uint32_t* col = s + y * nz + z;  // stride ny*nz over x
+        uint32_t* row = d + (z * ny + y) * nx;
+        for (int64_t x = 0; x < nx; ++x) row[x] = col[x * ny * nz];
+      }
+  } else {
+    // generic: walk C order, scatter to Fortran offsets
+    int64_t fstride[8];
+    fstride[0] = 1;
+    for (int i = 1; i < ndim; ++i) fstride[i] = fstride[i - 1] * shape[i - 1];
+    std::vector<int64_t> idx(ndim, 0);
+    for (int64_t c = 0; c < n; ++c) {
+      int64_t fo = 0;
+      for (int i = 0; i < ndim; ++i) fo += idx[i] * fstride[i];
+      memcpy(payload.data() + fo * isz, src + c * isz, (size_t)isz);
+      for (int i = ndim - 1; i >= 0; --i) {
+        if (++idx[i] < shape[i]) break;
+        idx[i] = 0;
+      }
+    }
+  }
+
+  // --- write (.gz by suffix) ---
+  const size_t plen = strlen(path);
+  const bool gz = plen > 3 && strcmp(path + plen - 3, ".gz") == 0;
+  if (gz) {
+    char mode[4] = {'w', 'b', (char)('0' + (level < 1 ? 1 : level > 9 ? 9 : level)), 0};
+    gzFile f = gzopen(path, mode);
+    if (!f) return 4;
+    if (gzwrite(f, hdr, 352) != 352) { gzclose(f); return 5; }
+    size_t off = 0;
+    const size_t chunk = 8u << 20;
+    while (off < payload.size()) {
+      unsigned m = (unsigned)(payload.size() - off < chunk ? payload.size() - off : chunk);
+      if (gzwrite(f, payload.data() + off, m) != (int)m) { gzclose(f); return 5; }
+      off += m;
+    }
+    if (gzclose(f) != Z_OK) return 5;
+  } else {
+    FILE* f = fopen(path, "wb");
+    if (!f) return 4;
+    if (fwrite(hdr, 1, 352, f) != 352 ||
+        fwrite(payload.data(), 1, payload.size(), f) != payload.size()) {
+      fclose(f);
+      return 5;
+    }
+    if (fclose(f) != 0) return 5;
+  }
+  return 0;
+}
