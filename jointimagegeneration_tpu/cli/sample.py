@@ -73,6 +73,14 @@ def _load_params(model_init, ckpt_dir):
     return model_init()
 
 
+def _write_ct_case(cdir, ct: np.ndarray, labels: np.ndarray) -> None:
+    """One case's output files (NIfTI + PNG grids); runs on a writer thread."""
+    save_image_volume(cdir / "image.nii.gz", ct)
+    save_label_volume(cdir / "pred.nii.gz", labels)
+    save_grid_png(cdir / "image.png", image_volume_to_grid(ct))
+    save_grid_png(cdir / "pred.png", labels_to_grid(labels))
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = load_yaml_config(argv[0], overrides=argv[1:])
@@ -213,6 +221,9 @@ def main(argv=None):
         # space)
         pipe = TwoStagePipeline(ms, latent if latent is not None else ldm)
         vshape = tuple(cfg.get("volume_shape", (128, 256, 256)))
+        from concurrent.futures import ThreadPoolExecutor
+
+        writer, write_futs = ThreadPoolExecutor(max_workers=2), []
         bs = max(1, min(int(cfg.get("batch_size", 1)), n_cases))
         mesh = None
         if bs > 1:
@@ -252,10 +263,15 @@ def main(argv=None):
             for j in range(min(bs, n_cases - c0)):
                 cdir = outdir / f"case_{c0 + j:04d}"
                 cdir.mkdir(exist_ok=True)
-                save_image_volume(cdir / "image.nii.gz", np.asarray(ct[j, ..., 0]))
-                save_label_volume(cdir / "pred.nii.gz", np.asarray(labels[j]))
-                save_grid_png(cdir / "image.png", image_volume_to_grid(np.asarray(ct[j, ..., 0])))
-                save_grid_png(cdir / "pred.png", labels_to_grid(np.asarray(labels[j])))
+                # writes overlap the next batch's device compute: the native
+                # NIfTI writer releases the GIL (data/native.py), so a small
+                # writer pool hides the ~seconds/volume host-side gzip behind
+                # the TPU's next scan chain
+                write_futs.append(writer.submit(
+                    _write_ct_case, cdir, np.asarray(ct[j, ..., 0]), np.asarray(labels[j])))
+        for f in write_futs:
+            f.result()  # surface writer errors before declaring success
+        writer.shutdown()
         dt = time.perf_counter() - t_start
         print(f"{n_cases} case(s) in {dt:.1f}s ({dt/max(n_cases, 1):.1f}s/case)")
         return
