@@ -180,8 +180,10 @@ def main(argv=None):
         t = jnp.full((batch["image"].shape[0],), diff.num_timesteps // 2, jnp.int32)
         noise = jax.random.normal(jax.random.key(step + 1), batch["image"].shape)
         x_noisy = diff.q_sample(jnp.asarray(batch["image"]), t, noise)
-        eps = model.apply_model(state.ema_params, x_noisy, t, cond=batch.get("cond"))
-        val_loss = float(jnp.mean((eps - noise) ** 2))
+        y = batch.get("y", batch.get("class_label"))  # adm class ids, as in training
+        out = model.apply_model(state.ema_params, x_noisy, t, cond=batch.get("cond"), y=y)
+        target = noise if diff.parameterization == "eps" else jnp.asarray(batch["image"])
+        val_loss = float(jnp.mean((out - target) ** 2))
         if logger:
             logger.scalars(step, {"loss_simple": val_loss}, prefix="val/")
         return -val_loss  # higher-is-better score for best-checkpoint keeping

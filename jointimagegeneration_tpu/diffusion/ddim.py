@@ -41,9 +41,26 @@ class DDIMParams:
         eta: float = 0.0,
         dtype=jnp.float32,
     ):
+        if num_steps >= diffusion.num_timesteps:
+            # the +1 subset-offset convention (util.py:57-60) indexes
+            # alphas_cumprod[T] when S == T — an opaque IndexError otherwise;
+            # a full-length chain is what the ancestral p_sample_loop does
+            raise ValueError(
+                f"ddim subset needs num_steps < timesteps (got {num_steps} vs "
+                f"{diffusion.num_timesteps}); use SliceLDM.p_sample_loop for a "
+                "full-length chain")
         ac = np.asarray(diffusion.alphas_cumprod, np.float64)
         subset = _sched.ddim_timestep_subset(method, num_steps, diffusion.num_timesteps,
                                              alphas_cumprod=ac)
+        if int(subset.max()) >= diffusion.num_timesteps:
+            # the 'uniform' stride is floor(T/S), so any S > T//2 strides by 1
+            # and the +1 offset runs past alphas_cumprod[T-1] (the reference
+            # has the same latent constraint, util.py:46-60 + ddim.py:34-36)
+            raise ValueError(
+                f"ddim subset with method={method!r} and num_steps={num_steps} "
+                f"reaches timestep {int(subset.max())} ≥ T={diffusion.num_timesteps} "
+                "(the +1 subset-offset convention); choose num_steps ≤ T//2, or "
+                "use SliceLDM.p_sample_loop for a full-length chain")
         sigmas, alphas, alphas_prev = _sched.ddim_sampling_parameters(ac, subset, eta)
         j = lambda x: jnp.asarray(x, dtype)
         return cls(

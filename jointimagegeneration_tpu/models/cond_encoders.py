@@ -52,7 +52,14 @@ def make_dense_feature_fn(extractor, params, spatial, layer: int = 11, facet: st
     th, tw = spatial
 
     def fn(images: jnp.ndarray) -> jnp.ndarray:
-        rgb = images if images.shape[-1] == 3 else jnp.tile(images, (1,) * (images.ndim - 1) + (3,))
+        if images.shape[-1] == 3:
+            rgb = images
+        else:
+            # any non-RGB channel count (1, 2, ...) reduces to a mean channel
+            # then tiles to exactly 3 — naive tiling of C≠1 would hand the
+            # ViT patch-embed 3·C channels and fail (reference feeds RGB-
+            # rendered inputs, dino.py preprocess)
+            rgb = jnp.tile(images.mean(-1, keepdims=True), (1,) * (images.ndim - 1) + (3,))
         f = extractor.vit.apply(params, rgb, harvest_layers=(layer,), facet=facet)[0]
         return jax.image.resize(f, (images.shape[0], th, tw, f.shape[-1]), "bilinear")
 

@@ -24,7 +24,7 @@ from ..diffusion.ddim import DDIMParams
 from ..diffusion.gaussian import GaussianDiffusion
 from ..nn.unet import UNet
 from .autoencoder import AutoencoderKL, VQModel
-from .slice_ldm import SliceLDM
+from .slice_ldm import SliceLDM, _minmax_slice
 
 __all__ = ["LatentSliceLDM"]
 
@@ -180,8 +180,12 @@ class LatentSliceLDM:
             self.encode_cond(cond_ae_params if cond_ae_params is not None else ae_params, cond)
             if encode_cond else cond
         )
-        z = self.inner.sample_slice(params, key, cond_z, ddim, **kw)
-        return self.decode(ae_params, z)
+        out = self.inner.sample_slice(params, key, cond_z, ddim, **kw)
+        if kw.get("return_intermediates"):
+            # intermediates are LATENT pred_x0 rows; decode only the sample
+            z, inter = out
+            return self.decode(ae_params, z), inter
+        return self.decode(ae_params, out)
 
     # -- autoregressive latent-path volume (the `_ae` capability) -------------
 
@@ -220,7 +224,7 @@ class LatentSliceLDM:
         SliceLDM.sample_volume; `warm_start` composes (the solver runs
         only its last round(f·S) nodes from the q-noised previous
         latent), compounding the two speedups."""
-        SliceLDM._check_sampler(sampler, None)
+        SliceLDM._check_sampler(sampler, None, ddim)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))
@@ -313,18 +317,12 @@ class LatentSliceLDM:
                                                    guidance_scale=guidance_scale,
                                                    uncond_cond=uncond_z,
                                                    x_T=x_T, start_index=start)
-            s = self.decode(ae_params, z)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            return (s - lo) / jnp.maximum(hi - lo, 1e-8), z
-        z = self.inner.sample_slice(params, k, cond_z, ddim, context=context,
-                                    guidance_scale=guidance_scale,
-                                    uncond_cond=uncond_z,
-                                    x_T=x_T, start_index=start)
-        s = self.decode(ae_params, z)
-        lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-        hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-        return (s - lo) / jnp.maximum(hi - lo, 1e-8), z
+        else:
+            z = self.inner.sample_slice(params, k, cond_z, ddim, context=context,
+                                        guidance_scale=guidance_scale,
+                                        uncond_cond=uncond_z,
+                                        x_T=x_T, start_index=start)
+        return _minmax_slice(self.decode(ae_params, z)), z
 
     def stream_volume(
         self,
@@ -346,7 +344,7 @@ class LatentSliceLDM:
         per-slice programs are cached on the instance, keyed by CFG
         ON/OFF, warm index, and sampler only — the scale itself is a
         traced argument, so varying it never retraces)."""
-        SliceLDM._check_sampler(sampler, None)
+        SliceLDM._check_sampler(sampler, None, ddim)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.first_stage.out_ch))

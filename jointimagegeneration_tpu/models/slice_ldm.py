@@ -27,6 +27,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..diffusion.ddim import DDIMParams, ddim_step
 from ..diffusion.gaussian import GaussianDiffusion
@@ -34,6 +35,15 @@ from ..nn.unet import UNet
 from .common import unet_vars
 
 __all__ = ["SliceLDM"]
+
+
+def _minmax_slice(s: jnp.ndarray) -> jnp.ndarray:
+    """Per-slice min-max normalisation into [0,1] — replicates
+    sample_diffusion.py:222 exactly (the single definition shared by the
+    pixel and latent volume steps)."""
+    lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
+    return (s - lo) / jnp.maximum(hi - lo, 1e-8)
 
 
 @dataclass(frozen=True)
@@ -199,7 +209,7 @@ class SliceLDM:
                 noise = jax.random.normal(sub2, x.shape, x.dtype)
                 x_orig = self.diffusion.q_sample(inpaint_x0, t_b, noise)
                 x = x_orig * inpaint_mask + (1.0 - inpaint_mask) * x
-            e_t = model_fn(x, t_b, cond, context)
+            out = model_fn(x, t_b, cond, context)
             if use_cfg:
                 # the unconditional branch drops BOTH conditioning channels:
                 # zeroed concat + uncond_context (None = no context — the
@@ -211,8 +221,12 @@ class SliceLDM:
                 # concat-then-chunk batching LOSES 1.69x here: 188 vs
                 # 111 ms/step (BENCH_NOTES round-3 "CFG batching" entry).
                 null_cond = jnp.zeros_like(cond) if uncond_cond is None else uncond_cond
-                e_uncond = model_fn(x, t_b, null_cond, uncond_context)
-                e_t = e_uncond + gs_c.astype(e_t.dtype) * (e_t - e_uncond)
+                out_uncond = model_fn(x, t_b, null_cond, uncond_context)
+                out = out_uncond + gs_c.astype(out.dtype) * (out - out_uncond)
+            # subset samplers work in eps space; an x0-parameterized model's
+            # output converts here (the CFG combine above is affine, so
+            # composing pre-conversion is equivalent)
+            e_t = self._to_eps(out, x, t_b)
             if guidance_fn is not None:
                 e_t = e_t - jnp.sqrt(1.0 - ddim.alphas[index]) * guidance_fn(x, t_b)
             x, pred_x0 = ddim_step(ddim, sub, x, e_t.astype(x.dtype), index, temperature)
@@ -339,7 +353,9 @@ class SliceLDM:
                                        context=uncond_context, y=y)
                 gs = jnp.asarray(guidance_scale).astype(e.dtype)
                 e = e_u + gs * (e - e_u)
-            return e.astype(x.dtype)
+            # multistep ODE updates are derived in eps space — convert an
+            # x0-parameterized model's output (no-op for eps models)
+            return self._to_eps(e, x, t).astype(x.dtype)
 
         return loops[sampler](eps_fn, ddim, x_T, start_index=start_index)
 
@@ -386,13 +402,21 @@ class SliceLDM:
         x = batch["image"][:n_row]
         cond = batch.get("cond")
         cond = cond[:n_row] if cond is not None else jnp.zeros(x.shape[:-1] + (self.cond_channels,))
+        # adm class ids ride the batch like the train step does
+        # (cond_stage_key 'class_label', ddpm.py:1428) — without this, an
+        # adm-configured UNet would assert at the first eval panel
+        y = batch.get("y", batch.get("class_label"))
+        y = y[:n_row] if y is not None else (
+            None if self.unet.adm_classes is None
+            else jnp.zeros((x.shape[0],), jnp.int32))
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        samples, inter = self.sample_slice(params, k1, cond, ddim, return_intermediates=True)
+        samples, inter = self.sample_slice(params, k1, cond, ddim, y=y,
+                                           return_intermediates=True)
         every = max(1, inter.shape[0] // 6)
         denoise_row = inter[::every]  # (R, B, H, W, C)
         mask = jnp.zeros_like(x).at[:, :, : x.shape[2] // 2].set(1.0)
-        inpaint = self.sample_slice(params, k2, cond, ddim, inpaint_mask=mask, inpaint_x0=x)
-        outpaint = self.sample_slice(params, k3, cond, ddim, inpaint_mask=1.0 - mask,
+        inpaint = self.sample_slice(params, k2, cond, ddim, y=y, inpaint_mask=mask, inpaint_x0=x)
+        outpaint = self.sample_slice(params, k3, cond, ddim, y=y, inpaint_mask=1.0 - mask,
                                      inpaint_x0=x)
         # forward-noising progression of the first input (diffusion_row,
         # ddpm.py:1273-1285): q_sample at ~6 evenly spaced t levels
@@ -413,7 +437,7 @@ class SliceLDM:
             "conditioning": np.asarray(cond),
         }
         if progressive:
-            _, prog = self.progressive_denoising(params, k5, cond, n_rows=6)
+            _, prog = self.progressive_denoising(params, k5, cond, y=y, n_rows=6)
             out["progressive_row"] = np.asarray(prog)  # (R, B, H, W, C)
         return out
 
@@ -434,14 +458,37 @@ class SliceLDM:
             raise ValueError(f"warm_start must be in (0, 1], got {warm_start}")
         return max(1, min(ddim.num_steps, int(round(f * ddim.num_steps))))
 
+    def _to_eps(self, out: jnp.ndarray, x: jnp.ndarray, t_b: jnp.ndarray) -> jnp.ndarray:
+        """Model output → eps for the subset samplers (DDIM/PLMS/DPM update
+        rules all assume eps parameterization, as the reference's do —
+        ddim.py:173, plms.py).  For `parameterization='x0'` the output is
+        x0_hat; invert q_sample: eps = (x_t − √ᾱ_t·x0)/√(1−ᾱ_t).  No-op
+        for eps models.  `t_b` is the DDPM timestep, broadcast per batch."""
+        if self.diffusion.parameterization == "eps":
+            return out
+        a = self.diffusion.alphas_cumprod[t_b].astype(x.dtype)
+        a = a.reshape(a.shape + (1,) * (x.ndim - a.ndim))
+        return (x - jnp.sqrt(a) * out.astype(x.dtype)) * jax.lax.rsqrt(1.0 - a)
+
     @staticmethod
-    def _check_sampler(sampler, tile):
+    def _check_sampler(sampler, tile, ddim=None):
         if sampler not in ("ddim", "plms", "dpm"):
             raise ValueError(f"unknown sampler {sampler!r}; expected 'ddim', 'plms' or 'dpm'")
         if sampler != "ddim" and tile is not None:
             raise ValueError(
                 f"sampler={sampler!r} does not support tile (a DDIM-chain "
                 "feature); drop it or use sampler='ddim'")
+        if sampler != "ddim" and ddim is not None:
+            try:  # concrete arrays only — skip when tracing
+                nonzero_eta = bool(np.any(np.asarray(ddim.sigmas) != 0.0))
+            except Exception:
+                nonzero_eta = False
+            if nonzero_eta:
+                # the multistep ODE updates have no stochastic sigma term —
+                # the reference PLMSSampler asserts ddim_eta == 0 (plms.py:30)
+                raise ValueError(
+                    f"sampler={sampler!r} requires ddim_eta=0 (deterministic "
+                    "ODE solver); this DDIMParams was built with nonzero eta")
 
     def sample_volume(
         self,
@@ -479,7 +526,7 @@ class SliceLDM:
         trade of `warm_start`.  `warm_start` COMPOSES with it (the solver
         runs only its last round(f·S) nodes from the q-noised previous
         slice), compounding the two speedups; `tile` stays DDIM-only."""
-        self._check_sampler(sampler, tile)
+        self._check_sampler(sampler, tile, ddim)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))
@@ -558,14 +605,10 @@ class SliceLDM:
                                              context=context, y=y,
                                              guidance_scale=guidance_scale,
                                              x_T=x_T, start_index=start)
-            lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-            return (s - lo) / jnp.maximum(hi - lo, 1e-8), s
-        s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile,
-                              guidance_scale=guidance_scale, x_T=x_T, start_index=start)
-        lo = jnp.min(s, axis=(1, 2, 3), keepdims=True)
-        hi = jnp.max(s, axis=(1, 2, 3), keepdims=True)
-        return (s - lo) / jnp.maximum(hi - lo, 1e-8), s
+        else:
+            s = self.sample_slice(params, k, cond, ddim, context=context, y=y, tile=tile,
+                                  guidance_scale=guidance_scale, x_T=x_T, start_index=start)
+        return _minmax_slice(s), s
 
     def stream_volume(
         self,
@@ -591,7 +634,7 @@ class SliceLDM:
         sampler only — the scale itself is a traced argument) so repeated
         streaming requests, even with varying guidance scales, never
         retrace."""
-        self._check_sampler(sampler, tile)
+        self._check_sampler(sampler, tile, ddim)
         b, d, h, w, _ = mask_volume.shape
         if init_slice is None:
             init_slice = jnp.zeros((b, h, w, self.channels))

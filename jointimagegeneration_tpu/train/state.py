@@ -61,7 +61,10 @@ class EMATrainState:
             skip_nonfinite=skip_nonfinite,
         )
 
-    def apply_gradients(self, grads):
+    def apply_gradients(self, grads, return_finite: bool = False):
+        """`return_finite=True` also returns the all-grads-finite scalar this
+        update already computes for skip_nonfinite, so train steps can report
+        `grad_finite` without a second full-tree isfinite reduction."""
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         if self.ema_warmup:
@@ -72,16 +75,21 @@ class EMATrainState:
             decay = self.ema_decay
         new_ema = ema_update(self.ema_params, new_params, decay)
         nonfinite = self.nonfinite_count
-        if self.skip_nonfinite:
+        finite = None
+        if self.skip_nonfinite or return_finite:
             finite = jnp.all(
                 jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
             )
+        if self.skip_nonfinite:
             keep = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
             new_params = keep(new_params, self.params)
             new_opt = keep(new_opt, self.opt_state)
             new_ema = keep(new_ema, self.ema_params)
             nonfinite = nonfinite + jnp.where(finite, 0, 1)
-        return self.replace(
+        new_state = self.replace(
             step=self.step + 1, params=new_params, opt_state=new_opt,
             ema_params=new_ema, nonfinite_count=nonfinite,
         )
+        if return_finite:
+            return new_state, finite
+        return new_state

@@ -63,10 +63,8 @@ def make_mask_train_step(
             state.params, key, batch["mask"], batch.get("image"), batch.get("context"),
             batch.get("feature_cond") if feature_inject_idx is not None else None,
         )
-        state = state.apply_gradients(grads)
-        metrics["grad_finite"] = jnp.all(
-            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
-        )
+        state, finite = state.apply_gradients(grads, return_finite=True)
+        metrics["grad_finite"] = finite
         return state, metrics
 
     return step
@@ -108,10 +106,8 @@ def make_ldm_train_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, key, batch["image"], batch.get("cond"), batch.get("context"), y
         )
-        state = state.apply_gradients(grads)
-        metrics["grad_finite"] = jnp.all(
-            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
-        )
+        state, finite = state.apply_gradients(grads, return_finite=True)
+        metrics["grad_finite"] = finite
         return state, metrics
 
     return step
