@@ -48,9 +48,14 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 100
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in float32, output cast back (nn.py:12-19)."""
+    """GroupNorm(32) computed in float32, output cast back (nn.py:12-19).
+
+    eps defaults to torch's GroupNorm 1e-5 (the UNet normalization sites
+    subclass torch.nn.GroupNorm with its default); the VAE/SpatialTransformer
+    sites pass 1e-6 to match the LDM's Normalize (model.py:76-77)."""
 
     num_groups: int = 32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -58,7 +63,8 @@ class GroupNorm32(nn.Module):
         # all reference configs have channels % 32 == 0; the gcd fallback only
         # matters for tiny test models
         groups = math.gcd(x.shape[-1], self.num_groups)
-        y = nn.GroupNorm(num_groups=groups, dtype=jnp.float32, param_dtype=jnp.float32)(
+        y = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
+                         dtype=jnp.float32, param_dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
         return y.astype(dtype)
@@ -106,7 +112,7 @@ def _raw_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray], 
 
 
 def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, groups: int,
-               eps: float = 1e-6) -> jnp.ndarray:
+               eps: float = 1e-5) -> jnp.ndarray:
     """Per-sample GroupNorm in fp32, cast back (reference GroupNorm32,
     unet_openai/nn.py:17-19); identical math to flax nn.GroupNorm."""
     b, c = x.shape[0], x.shape[-1]
@@ -234,8 +240,13 @@ class ResBlock(nn.Module):
                 # conv + bias/residual/moments epilogue
                 t1 = nn.silu(group_norm(x, n1s, n1b, g1))
                 y1, st = fused_conv3d(t1, k1, bias1, None, True, 8)
+                # keep the conv_out remat-policy contract on the fused paths
+                # too — otherwise remat_policy='conv_outputs' silently saves
+                # nothing here and the backward recomputes the whole fused
+                # forward (the exact cost the policy exists to avoid)
+                y1 = _checkpoint_name(y1, "conv_out")
                 mean2, var2 = moments_from_channel_sums(st, d * hh * ww, g2)
-                a2, s2 = gn_affine_from_moments(mean2, var2, n2s, n2b, g2, eps=1e-6)
+                a2, s2 = gn_affine_from_moments(mean2, var2, n2s, n2b, g2)
                 if self.use_scale_shift_norm:
                     a2 = a2 * (1 + film_scale)
                     s2 = s2 * (1 + film_scale) + film_shift
@@ -244,10 +255,11 @@ class ResBlock(nn.Module):
                 return fused_conv3d(t2, k2, b2, residual, False, 8)
 
             mean1, var1 = group_moments(x, g1)
-            a1, s1 = gn_affine_from_moments(mean1, var1, n1s, n1b, g1, eps=1e-6)
+            a1, s1 = gn_affine_from_moments(mean1, var1, n1s, n1b, g1)
             y1, st = fused_affine_silu_conv3d(x, k1, a1, s1, bias1, None, True, 8)
+            y1 = _checkpoint_name(y1, "conv_out")  # see the fused=='xla' note
             mean2, var2 = moments_from_channel_sums(st, d * hh * ww, g2)
-            a2, s2 = gn_affine_from_moments(mean2, var2, n2s, n2b, g2, eps=1e-6)
+            a2, s2 = gn_affine_from_moments(mean2, var2, n2s, n2b, g2)
             if self.use_scale_shift_norm:
                 a2 = a2 * (1 + film_scale)
                 s2 = s2 * (1 + film_scale) + film_shift
@@ -293,13 +305,14 @@ class AttentionBlock(nn.Module):
 
     num_heads: int = 1
     num_head_channels: int = -1
+    eps: float = 1e-5  # UNet sites: torch default; VAE AttnBlock passes 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, *spatial, c = x.shape
         heads = self.num_heads if self.num_head_channels == -1 else max(1, c // self.num_head_channels)
         seq = x.reshape(b, -1, c)
-        h = GroupNorm32(name="norm")(seq)
+        h = GroupNorm32(name="norm", eps=self.eps)(seq)
         qkv = nn.Dense(3 * c, param_dtype=jnp.float32, dtype=x.dtype, name="qkv")(h)
         a = multi_head_self_attention(qkv, heads)
         a = nn.Dense(c, kernel_init=nn.initializers.zeros, param_dtype=jnp.float32, dtype=x.dtype, name="proj_out")(a)

@@ -125,7 +125,7 @@ class SequenceTransformer(nn.Module):
         self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None, *, deterministic: bool = True
     ) -> jnp.ndarray:
         b, *spatial, c = x.shape
-        h = GroupNorm32(name="norm")(x).reshape(b, -1, c)
+        h = GroupNorm32(name="norm", eps=1e-6)(x).reshape(b, -1, c)  # Normalize, attention.py:76-77
         h = nn.Dense(self.heads * self.dim_head, param_dtype=jnp.float32, dtype=x.dtype, name="proj_in")(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(

@@ -172,7 +172,6 @@ class UNet(nn.Module):
                 return ResBlock
             return RematRes
 
-        Res = RematRes if self.remat else ResBlock
 
         # --- encoder ------------------------------------------------------
         h = inject(h, 0)

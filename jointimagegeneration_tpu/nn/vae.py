@@ -29,9 +29,9 @@ class VAEResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.silu(GroupNorm32(name="norm1")(x))
+        h = nn.silu(GroupNorm32(name="norm1", eps=1e-6)(x))
         h = _conv(self.out_channels, 3, self.dims, name="conv1")(h)
-        h = nn.silu(GroupNorm32(name="norm2")(h))
+        h = nn.silu(GroupNorm32(name="norm2", eps=1e-6)(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _conv(self.out_channels, 3, self.dims, name="conv2")(h)
@@ -63,7 +63,7 @@ class Encoder(nn.Module):
                     h, deterministic=deterministic
                 )
                 if res in self.attn_resolutions:
-                    h = AttentionBlock(num_heads=1, name=f"down_{level}_{i}_attn")(h)
+                    h = AttentionBlock(num_heads=1, eps=1e-6, name=f"down_{level}_{i}_attn")(h)
             if level != len(self.ch_mult) - 1:
                 # asymmetric (0,1) pad + VALID, matching the reference's
                 # Downsample (model.py:61-73) so its trained weights
@@ -73,9 +73,9 @@ class Encoder(nn.Module):
                           name=f"down_{level}_ds")(h)
                 res //= 2
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_1")(h, deterministic=deterministic)
-        h = AttentionBlock(num_heads=1, name="mid_attn")(h)
+        h = AttentionBlock(num_heads=1, eps=1e-6, name="mid_attn")(h)
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_2")(h, deterministic=deterministic)
-        h = nn.silu(GroupNorm32(name="norm_out")(h))
+        h = nn.silu(GroupNorm32(name="norm_out", eps=1e-6)(h))
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return _conv(out_ch, 3, self.dims, name="conv_out")(h)
 
@@ -97,7 +97,7 @@ class Decoder(nn.Module):
         res = self.resolution // 2 ** (len(self.ch_mult) - 1)
         h = _conv(self.ch * self.ch_mult[-1], 3, self.dims, name="conv_in")(z)
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_1")(h, deterministic=deterministic)
-        h = AttentionBlock(num_heads=1, name="mid_attn")(h)
+        h = AttentionBlock(num_heads=1, eps=1e-6, name="mid_attn")(h)
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_2")(h, deterministic=deterministic)
         for level, mult in reversed(list(enumerate(self.ch_mult))):
             for i in range(self.num_res_blocks + 1):
@@ -105,12 +105,12 @@ class Decoder(nn.Module):
                     h, deterministic=deterministic
                 )
                 if res in self.attn_resolutions:
-                    h = AttentionBlock(num_heads=1, name=f"up_{level}_{i}_attn")(h)
+                    h = AttentionBlock(num_heads=1, eps=1e-6, name=f"up_{level}_{i}_attn")(h)
             if level != 0:
                 h = _nearest_up2(h, self.dims)
                 h = _conv(h.shape[-1], 3, self.dims, name=f"up_{level}_us")(h)
                 res *= 2
-        h = nn.silu(GroupNorm32(name="norm_out")(h))
+        h = nn.silu(GroupNorm32(name="norm_out", eps=1e-6)(h))
         return _conv(self.out_ch, 3, self.dims, name="conv_out")(h)
 
 
@@ -126,7 +126,11 @@ class VectorQuantizer(nn.Module):
     def __call__(self, z: jnp.ndarray):
         codebook = self.param(
             "codebook",
-            nn.initializers.uniform(scale=2.0 / self.n_embed),
+            # zero-centered U(-1/n, 1/n) like taming's VectorQuantizer
+            # (flax's uniform(scale) samples [0, scale) — all-positive codes
+            # would start near-degenerate against a zero-centered encoder)
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -1.0 / self.n_embed, 1.0 / self.n_embed),
             (self.n_embed, self.embed_dim),
         )
         flat = z.reshape(-1, self.embed_dim)

@@ -54,13 +54,24 @@ def _flash_available() -> bool:
     return _FLASH_ENABLED and jax.default_backend() == "tpu"
 
 
+_warned_fallback = False
+
+
 def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     if _flash_available() and q.shape[2] >= _FLASH_MIN_SEQ:
         try:
             from .pallas.flash_attention import flash_attention
 
             return flash_attention(q, k, v)
-        except Exception:  # pragma: no cover - fall back if kernel unsupported
+        except ValueError:  # the kernel's own shape/dtype rejection only —
+            # anything else (pallas API change, kernel bug) must SURFACE, not
+            # silently degrade every site to O(T²) logits (multi-GB at the
+            # 3D mid-block) that shows up as an unrelated OOM
+            global _warned_fallback
+            if not _warned_fallback:
+                _warned_fallback = True
+                print("WARNING: flash attention rejected these shapes — "
+                      "falling back to XLA O(T²) attention")
             return _xla_attention(q, k, v)
     return _xla_attention(q, k, v)
 

@@ -306,7 +306,7 @@ def group_moments(x: jnp.ndarray, num_groups: int):
     c = x.shape[-1]
     xf = x.astype(jnp.float32).reshape(-1, num_groups, c // num_groups)
     mean = jnp.mean(xf, axis=(0, 2))
-    var = jnp.mean(jnp.square(xf), axis=(0, 2)) - jnp.square(mean)
+    var = jnp.maximum(jnp.mean(jnp.square(xf), axis=(0, 2)) - jnp.square(mean), 0.0)
     return mean, var
 
 
@@ -316,7 +316,11 @@ def moments_from_channel_sums(stats: jnp.ndarray, n_per_channel: int, num_groups
     gs = stats.reshape(2, num_groups, c // num_groups).sum(axis=-1)
     n = n_per_channel * (c // num_groups)
     mean = gs[0] / n
-    var = gs[1] / n - jnp.square(mean)
+    # E[x^2] - mean^2 can cancel slightly NEGATIVE in fp32 when
+    # mean^2/var is large (late-UNet residual drift) — the rsqrt in
+    # gn_affine_from_moments would then NaN where the two-pass
+    # group_norm (blocks.py) is fine; clamp at 0 (the eps still floors it)
+    var = jnp.maximum(gs[1] / n - jnp.square(mean), 0.0)
     return mean, var
 
 

@@ -71,16 +71,16 @@ def tiled_apply(
 
     pho, pwo = scaled(ph), scaled(pw)
     ho, wo = scaled(h), scaled(w)
-    grid = jnp.asarray([(scaled(y), scaled(xo)) for y in oy for xo in ox], jnp.int32)
+    # carry BOTH input- and output-space offsets (all exactly known host-side)
+    # — reconstructing one from the other via a float multiply can truncate
+    # one pixel low for non-power-of-two scales
+    grid = jnp.asarray([(y, xo, scaled(y), scaled(xo)) for y in oy for xo in ox], jnp.int32)
     weight = border_weighting((pho, pwo))[None, :, :, None]
     c_out = out_channels or c
-    inv = 1.0 / out_scale
 
     def body(carry, off):
         acc, norm = carry
-        y, xo = off[0], off[1]
-        yi = (y.astype(jnp.float32) * inv).astype(jnp.int32)
-        xi = (xo.astype(jnp.float32) * inv).astype(jnp.int32)
+        yi, xi, y, xo = off[0], off[1], off[2], off[3]
         tile = jax.lax.dynamic_slice(x, (0, yi, xi, 0), (b, ph, pw, c))
         res = fn(tile).astype(jnp.float32) * weight
         acc = jax.lax.dynamic_update_slice(

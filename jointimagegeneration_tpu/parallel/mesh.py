@@ -33,10 +33,20 @@ def maybe_initialize_distributed() -> None:
     recognised cluster environment) or jax already initialised."""
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialised
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+    # ORDER MATTERS: probing jax.process_count() would itself initialise the
+    # XLA backend, after which jax.distributed.initialize() raises — so the
+    # no-coordinator fast path must be decided from the environment alone
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")):
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already" in str(e).lower() or "must be called before" in str(e).lower():
+            # a second CLI call in-process, or a caller that already brought
+            # the backend up — distributed state is whatever it is; proceed
+            print(f"WARNING: jax.distributed.initialize skipped: {e}")
+        else:
+            raise
 
 
 def make_mesh(

@@ -88,7 +88,7 @@ def _sd_tiny(seed=0, prefix=""):
 
 
 def _t_gn(h, sd, at, groups):
-    return F.group_norm(h, groups, sd[f"{at}.weight"], sd[f"{at}.bias"], eps=1e-6)
+    return F.group_norm(h, groups, sd[f"{at}.weight"], sd[f"{at}.bias"], eps=1e-5)
 
 
 def _t_res(h, e, sd, at):
@@ -111,7 +111,7 @@ def _t_attn_legacy(h, sd, at):
     b, c, hh, ww = h.shape
     heads = c // HEAD_CH
     x = h.reshape(b, c, -1)
-    y = F.group_norm(x, math.gcd(c, 32), sd[f"{at}.norm.weight"], sd[f"{at}.norm.bias"], eps=1e-6)
+    y = F.group_norm(x, math.gcd(c, 32), sd[f"{at}.norm.weight"], sd[f"{at}.norm.bias"], eps=1e-5)
     qkv = F.conv1d(y, sd[f"{at}.qkv.weight"], sd[f"{at}.qkv.bias"])  # (b, 3c, t)
     bs, width, length = qkv.shape
     ch = width // (3 * heads)
@@ -150,7 +150,7 @@ def _t_forward(sd, x, tsteps):
                  padding=1)
     h = _t_res(torch.cat([h, h1], 1), e, sd, "output_blocks.2.0")
     h = _t_res(torch.cat([h, h0], 1), e, sd, "output_blocks.3.0")
-    h = F.silu(F.group_norm(h, math.gcd(MC, 32), sd["out.0.weight"], sd["out.0.bias"], eps=1e-6))
+    h = F.silu(F.group_norm(h, math.gcd(MC, 32), sd["out.0.weight"], sd["out.0.bias"], eps=1e-5))
     h = F.conv2d(h, sd["out.2.weight"], sd["out.2.bias"], padding=1)
     return h.permute(0, 2, 3, 1).numpy()
 

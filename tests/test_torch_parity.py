@@ -39,7 +39,7 @@ def test_groupnorm_matches_torch():
     params = m.init(jax.random.key(0), jnp.asarray(x))
     out = np.asarray(m.apply(params, jnp.asarray(x)))
     # torch GroupNorm on NCHW with unit affine
-    gn = torch.nn.GroupNorm(32, 32, eps=1e-6, affine=False)
+    gn = torch.nn.GroupNorm(32, 32, eps=1e-5, affine=False)
     ref = gn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
@@ -124,8 +124,8 @@ def test_resblock_matches_torch_reference_block():
     params = {"params": {k: jnp.asarray(v) for k, v in p.items()}}
     ours = np.asarray(rb.apply(params, jnp.asarray(x), jnp.asarray(emb)))
 
-    gn1 = torch.nn.GroupNorm(8, in_ch, eps=1e-6)
-    gn2 = torch.nn.GroupNorm(16, out_ch, eps=1e-6)
+    gn1 = torch.nn.GroupNorm(8, in_ch, eps=1e-5)
+    gn2 = torch.nn.GroupNorm(16, out_ch, eps=1e-5)
     conv1 = torch.nn.Conv3d(in_ch, out_ch, 3, padding=1)
     conv2 = torch.nn.Conv3d(out_ch, out_ch, 3, padding=1)
     lin = torch.nn.Linear(emb_dim, out_ch)
@@ -176,7 +176,7 @@ def test_attention_block_matches_torch():
 
     with torch.no_grad():
         seq = torch.tensor(x.reshape(2, 16, c))                       # (B, T, C)
-        gn = torch.nn.GroupNorm(math.gcd(c, 32), c, eps=1e-6)
+        gn = torch.nn.GroupNorm(math.gcd(c, 32), c, eps=1e-5)
         gn.weight.copy_(torch.tensor(np.asarray(p["norm"]["GroupNorm_0"]["scale"])))
         gn.bias.copy_(torch.tensor(np.asarray(p["norm"]["GroupNorm_0"]["bias"])))
         h = gn(seq.transpose(1, 2)).transpose(1, 2)                   # GN over (C, T)
@@ -229,7 +229,7 @@ def test_whole_unet_matches_torch():
                         padding=kern.shape[0] // 2)
 
     def t_gn(h, scale, bias, groups):
-        return F.group_norm(h, groups, torch.tensor(scale), torch.tensor(bias), eps=1e-6)
+        return F.group_norm(h, groups, torch.tensor(scale), torch.tensor(bias), eps=1e-5)
 
     def t_res(h, emb, q):
         in_c, o_c = h.shape[1], q["conv1_kernel"].shape[-1]
@@ -249,7 +249,7 @@ def test_whole_unet_matches_torch():
         seq = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
         n = q["norm"]["GroupNorm_0"]
         y = F.group_norm(seq.transpose(1, 2), math.gcd(c, 32), torch.tensor(n["scale"]),
-                         torch.tensor(n["bias"]), eps=1e-6).transpose(1, 2)
+                         torch.tensor(n["bias"]), eps=1e-5).transpose(1, 2)
         qkv = y @ torch.tensor(q["qkv"]["kernel"]) + torch.tensor(q["qkv"]["bias"])
         qq, kk, vv = qkv.chunk(3, dim=-1)
         split = lambda z: z.reshape(b, -1, heads, d).permute(0, 2, 1, 3)
@@ -282,7 +282,7 @@ def test_whole_unet_matches_torch():
         h = t_res(torch.cat([h, h0], 1), e, p["up_0_1_res"])
         n = p["out_norm"]["GroupNorm_0"]
         h = F.silu(F.group_norm(h, math.gcd(mc, 32), torch.tensor(n["scale"]),
-                                torch.tensor(n["bias"]), eps=1e-6))
+                                torch.tensor(n["bias"]), eps=1e-5))
         want = t_conv(h, p["out_conv"]["kernel"], p["out_conv"]["bias"]).permute(0, 2, 3, 1).numpy()
 
     np.testing.assert_allclose(ours, want, atol=5e-4, rtol=5e-4)
