@@ -17,7 +17,7 @@ Order selection (plms.py:180-196):
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

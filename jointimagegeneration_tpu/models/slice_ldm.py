@@ -339,6 +339,11 @@ class SliceLDM:
         loops = {"plms": plms_sample_loop, "dpm": dpm_solver_sample_loop}
         if sampler not in loops:
             raise ValueError(f"unknown sampler {sampler!r}; expected 'ddim', 'plms' or 'dpm'")
+        # guard here, not only in sample_volume/stream_volume: the public
+        # per-slice entry points (sample_slice_plms/dpm) would otherwise
+        # silently drop a nonzero-eta DDIMParams' sigma term and return a
+        # deterministic trajectory with a mismatched dir_xt coefficient
+        self._check_sampler(sampler, None, ddim)
         b, h, w, _ = cond.shape
         if x_T is None:
             key, sub = jax.random.split(key)

@@ -18,7 +18,7 @@ round-trip between the two phases."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -154,7 +154,16 @@ def make_autoencoder_train_step(
                     rec2, nll2, _ = rec_terms(p, k_sample, x)
                     return nll2, -jnp.mean(discriminator.apply(state.d_params, rec2))
 
-                d_weight = _adaptive_d_weight(heads, g_params, disc_weight)
+                # disc_factor zeroes the adversarial term for the whole
+                # warmup (~disc_start steps), so gate the expensive ratio
+                # (an extra AE forward + disc forward + two pullbacks) behind
+                # a cond instead of paying it every step for a x0 product
+                d_weight = jax.lax.cond(
+                    state.step >= disc_start,
+                    lambda _: _adaptive_d_weight(heads, g_params, disc_weight),
+                    lambda _: jnp.zeros((), jnp.float32),
+                    operand=None,
+                )
             else:
                 d_weight = disc_weight
             loss = nll + kl_weight * kl + d_weight * disc_factor * g_adv
@@ -222,7 +231,14 @@ def make_vq_train_step(
                 rec2, nll2, _ = rec_terms(p, x)
                 return nll2, -jnp.mean(discriminator.apply(state.d_params, rec2))
 
-            d_w = _adaptive_d_weight(heads, g_params, disc_weight)
+            # see make_autoencoder_train_step: skip the ratio while the
+            # adversarial term is zeroed by disc_factor
+            d_w = jax.lax.cond(
+                state.step >= disc_start,
+                lambda _: _adaptive_d_weight(heads, g_params, disc_weight),
+                lambda _: jnp.zeros((), jnp.float32),
+                operand=None,
+            )
             loss = nll + codebook_weight * qloss + d_w * disc_factor * g_adv
             return loss, {"nll": nll, "qloss": qloss, "g_adv": g_adv, "d_weight": d_w, "rec": rec}
 

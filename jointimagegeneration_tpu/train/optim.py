@@ -64,7 +64,10 @@ def _restart_schedule(
         elif lr_function == "exponential":
             shape = gamma**since
         elif lr_function == "polynomial":
-            coeff = (1.0 - jnp.minimum(since, length - 1) / (length - 1)) ** power
+            # floor the denominator at 1: a length-1 segment (consecutive
+            # restart bounds) would otherwise divide 0/0 -> NaN lr
+            den = jnp.maximum(length - 1.0, 1.0)
+            coeff = (1.0 - jnp.minimum(since, length - 1) / den) ** power
             shape = (1.0 - min_lr / base_lr) * coeff + min_lr / base_lr
         elif lr_function == "cosine":
             shape = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.minimum(since, length) / length))
@@ -113,10 +116,14 @@ def build_lr_schedule(
     if lr_function == "polynomial":
         power = p.get("power", 1.0)
         min_lr = p.get("min_lr", 0.0)
+        # build_optimizer defaults total_steps=1 — without the floor the
+        # schedule is 0/0 = NaN lr at EVERY step, which poisons params while
+        # grads stay finite (so skip_nonfinite never fires)
+        den = max(total_steps - 1, 1)
 
         def sched(step):
             s = jnp.minimum(step.astype(jnp.float32), total_steps - 1)
-            coeff = (1.0 - s / (total_steps - 1)) ** power
+            coeff = (1.0 - s / den) ** power
             return (base_lr - min_lr) * coeff + min_lr
 
         return sched
@@ -134,11 +141,13 @@ def build_lr_schedule(
         power = p.get("power", 1.0)
         min_lr = p.get("min_lr", 0.0)
 
+        den = max(total_steps - 1, 1)  # see the polynomial branch above
+
         def sched(step):
             s = step.astype(jnp.float32)
             warm = base_lr * (1.0 - (1.0 - (s + 1.0) / warmup_iters) * (1.0 - warmup_rate))
             sc = jnp.minimum(s, total_steps - 1)
-            poly = (base_lr - min_lr) * (1.0 - sc / (total_steps - 1)) ** power + min_lr
+            poly = (base_lr - min_lr) * (1.0 - sc / den) ** power + min_lr
             return jnp.where(s <= warmup_iters - 1, warm, poly)
 
         return sched

@@ -19,13 +19,11 @@ KeyboardInterrupt checkpoints before exiting (main.py:297-301 melk()).
 from __future__ import annotations
 
 import signal
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import CheckpointManager
@@ -115,12 +113,17 @@ class Trainer:
 
     def fit(self):
         cfg = self.cfg
-        key = jax.random.key(cfg.seed)
-        tput = Throughput()
         step = int(self.state.step)
+        # fold the restored step into the key so a resumed run CONTINUES the
+        # randomness stream instead of replaying the (t, noise) draws of
+        # steps 1..N from the original run (fresh runs: fold_in(key, 0))
+        key = jax.random.fold_in(jax.random.key(cfg.seed), step)
+        tput = Throughput()
         try:
             while step < cfg.max_steps:
+                epoch_batches = 0
                 for batch in self.train_loader:
+                    epoch_batches += 1
                     if step >= cfg.max_steps:
                         break
                     key, sub = jax.random.split(key)
@@ -163,6 +166,13 @@ class Trainer:
                         score = self.eval_fn(self.state, step, self.logger)
                         if score is not None:
                             self.ckpt.save(step, jax.device_get(self.state), score=float(score))
+                if epoch_batches == 0:
+                    # an empty dataset or exhausted one-shot iterator would
+                    # otherwise spin this while-loop forever at 100% CPU
+                    raise RuntimeError(
+                        "train_loader yielded no batches this epoch — empty "
+                        "dataset or exhausted one-shot iterator?"
+                    )
         except KeyboardInterrupt:
             print("interrupted — saving checkpoint")
             self.ckpt.save(step, jax.device_get(self.state))
