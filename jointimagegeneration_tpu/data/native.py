@@ -78,7 +78,9 @@ def native_available() -> bool:
 
 
 def read_nifti_native(path) -> Optional[Tuple[np.ndarray, dict]]:
-    """Returns (float32 volume, info) or None if unavailable/unsupported."""
+    """Returns (float32 volume indexed [..., z, y, x], info) or None if
+    unavailable/unsupported. Matches data/nifti.py:read_nifti: the array is
+    the reversed-header-axis (SimpleITK) layout; spacing stays (dx,dy,dz)."""
     lib = _load()
     if lib is None:
         return None
@@ -86,7 +88,9 @@ def read_nifti_native(path) -> Optional[Tuple[np.ndarray, dict]]:
     rc = lib.jig_read_nifti(str(path).encode(), ctypes.byref(info), None)
     if rc != 0:
         return None
-    shape = tuple(int(info.shape[i]) for i in range(info.ndim))
+    # info.shape holds header (x, y, z) dims; the C reader emits the raw
+    # Fortran buffer, which in C order is the reversed-dims (z, y, x) array
+    shape = tuple(int(info.shape[i]) for i in range(info.ndim))[::-1]
     out = np.empty(shape, np.float32)
     rc = lib.jig_read_nifti(
         str(path).encode(), ctypes.byref(info), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
@@ -149,8 +153,9 @@ _WRITE_CODES = {
 
 def write_nifti_native(path, data: np.ndarray, spacing=None, affine=None,
                        level: int = 1) -> bool:
-    """Native .nii/.nii.gz write (header + C->Fortran transpose + deflate,
-    GIL-free).  Byte-compatible with data/nifti.py:write_nifti; `level` is
+    """Native .nii/.nii.gz write (header + deflate, GIL-free; data is
+    [..., z, y, x] so its C buffer is already the file's Fortran voxel
+    order).  Byte-compatible with data/nifti.py:write_nifti; `level` is
     the gzip level (1 = fast, the right trade for noisy CT floats).
     Returns False when the library (or this symbol) is unavailable so the
     caller can fall back to the Python codec."""

@@ -50,8 +50,11 @@ def _open(path, mode: str):
 
 
 def read_nifti(path) -> Tuple[np.ndarray, dict]:
-    """Returns (data, header_info) with data in C-order indexed [x, y, z, ...]
-    and header_info = {'spacing': (dx,dy,dz), 'affine': 4x4 or None}."""
+    """Returns (data, header_info) with data in C-order indexed [..., z, y, x]
+    (reversed header-axis order — the SimpleITK GetArrayFromImage convention
+    the reference loaders operate in, so axis 0 of a 3D volume is z/depth)
+    and header_info = {'spacing': (dx,dy,dz), 'affine': 4x4 or None}.
+    Spacing stays in world/header order (x, y, z), as SimpleITK's GetSpacing."""
     with _open(path, "rb") as f:
         hdr = f.read(348)
         if len(hdr) < 348:
@@ -86,8 +89,9 @@ def read_nifti(path) -> Tuple[np.ndarray, dict]:
         count = int(np.prod(shape))
         raw = f.read(count * dtype.itemsize)
         data = np.frombuffer(raw, dtype=dtype, count=count)
-        # NIfTI voxel order is Fortran: first axis fastest
-        data = data.reshape(shape[::-1]).transpose(range(ndim - 1, -1, -1))
+        # NIfTI voxel order is Fortran (x fastest): a C-order reshape to the
+        # reversed dims is exactly the (z, y, x) layout — no transpose needed
+        data = data.reshape(shape[::-1])
 
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
@@ -103,10 +107,15 @@ def read_nifti(path) -> Tuple[np.ndarray, dict]:
 def write_nifti(path, data: np.ndarray, spacing: Optional[Tuple[float, ...]] = None, affine=None) -> None:
     """Write a NIfTI-1 (.nii or .nii.gz) volume.
 
+    `data` is indexed [..., z, y, x] (read_nifti's convention); header dims
+    are the reversed shape, so a (D, H, W) volume stores as nx=W, ny=H, nz=D
+    and opens correctly oriented in standard viewers. `spacing` stays in
+    world order (dx, dy, dz).
+
     Routes through the native writer (native/nifti_native.cc:jig_write_nifti —
-    GIL-free transpose + deflate, so serving writer threads overlap with
-    device compute) when the library is built, with this pure-Python codec
-    as the byte-compatible fallback."""
+    GIL-free deflate, so serving writer threads overlap with device compute)
+    when the library is built, with this pure-Python codec as the
+    byte-compatible fallback."""
     data = np.asarray(data)
     try:
         from .native import write_nifti_native
@@ -125,7 +134,7 @@ def write_nifti(path, data: np.ndarray, spacing: Optional[Tuple[float, ...]] = N
 
     hdr = bytearray(352)  # 348 header + 4-byte extension flag (zeros)
     struct.pack_into("<i", hdr, 0, 348)
-    dim = [ndim] + list(shape) + [1] * (7 - ndim)
+    dim = [ndim] + list(shape[::-1]) + [1] * (7 - ndim)
     struct.pack_into("<8h", hdr, 40, *dim)
     struct.pack_into("<h", hdr, 70, _DTYPE_CODES[data.dtype])
     struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)  # bitpix
@@ -144,8 +153,8 @@ def write_nifti(path, data: np.ndarray, spacing: Optional[Tuple[float, ...]] = N
     struct.pack_into("<12f", hdr, 280, *np.asarray(affine, np.float32)[:3].reshape(-1))
     hdr[344:348] = b"n+1\x00"
 
-    # Fortran voxel order
-    payload = data.transpose(range(ndim - 1, -1, -1)).reshape(-1).astype(data.dtype, copy=False)
+    # C-order ravel of (..., z, y, x) IS Fortran order of the (x, y, z) dims
+    payload = np.ascontiguousarray(data).reshape(-1)
     with _open(path, "wb") as f:
         f.write(bytes(hdr))
         f.write(payload.tobytes())

@@ -6,9 +6,10 @@
 // single-core hosts that front TPU slices, gzip inflate + voxel remap in
 // Python is the bottleneck, so the hot path lives here:
 //
-//   * jig_read_nifti     — .nii/.nii.gz -> float32 voxels (C-order),
-//                          with scl_slope/inter applied and Fortran->C
-//                          axis transpose fused into the copy
+//   * jig_read_nifti     — .nii/.nii.gz -> float32 voxels with
+//                          scl_slope/inter applied.  The file's Fortran
+//                          (x-fastest) buffer IS the C-order (z, y, x)
+//                          array the framework indexes, so no transpose
 //   * jig_window_norm    — CT HU windowing into [0,1], in place
 //   * jig_remap_labels   — TotalSegmentator id -> class id remap + tumor
 //                          override (ccdm/datasets/ruijin.py:31-38,176)
@@ -27,7 +28,8 @@
 
 struct JigNiftiInfo {
   int32_t ndim;
-  int64_t shape[8];     // C-order (outermost first)
+  int64_t shape[8];     // header order (nx, ny, nz, ...); callers reverse
+                        // for the C-order (z, y, x) array view
   float spacing[8];
   int32_t datatype;     // original NIfTI datatype code
   int32_t error;        // 0 ok, else error code
@@ -66,9 +68,10 @@ static void convert_to_f32(const uint8_t* src, float* dst, int64_t n, float slop
 }
 
 // ---------------------------------------------------------------------------
-// jig_read_nifti: parse header, inflate, convert to f32, transpose F->C.
-// Caller provides `out` sized to the voxel count (query first with
-// out == nullptr: fills info only).
+// jig_read_nifti: parse header, inflate, convert to f32.  The Fortran voxel
+// stream is emitted as-is: reshaped C-order to the reversed dims it is the
+// (z, y, x) array the Python side expects.  Caller provides `out` sized to
+// the voxel count (query first with out == nullptr: fills info only).
 // ---------------------------------------------------------------------------
 
 extern "C" int32_t jig_read_nifti(const char* path, JigNiftiInfo* info, float* out) {
@@ -98,8 +101,8 @@ extern "C" int32_t jig_read_nifti(const char* path, JigNiftiInfo* info, float* o
   size_t vox_offset = (size_t)vox_offset_f;
 
   int64_t n = 1;
-  // expose shape in the same axis order as the Python codec: (nx, ny, nz)
-  // with the returned buffer C-ordered so out[x, y, z] indexes correctly
+  // expose shape/spacing in header order (nx, ny, nz); the ctypes wrapper
+  // reverses shape so the buffer below views as the C-order (z, y, x) array
   for (int i = 0; i < ndim; ++i) {
     info->shape[i] = dim[1 + i];
     info->spacing[i] = pixdim[1 + i];
@@ -113,51 +116,19 @@ extern "C" int32_t jig_read_nifti(const char* path, JigNiftiInfo* info, float* o
   if (buf.size() < vox_offset) { info->error = 5; return 5; }
   const uint8_t* data = h + vox_offset;
 
-  // convert to f32 in Fortran order first
-  std::vector<float> f(n);
+  // convert to f32 straight into `out`: the Fortran stream is already the
+  // C-order buffer of the reversed-dims (z, y, x) array
   switch (datatype) {
-    case 2:    convert_to_f32<uint8_t>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 4:    convert_to_f32<int16_t>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 8:    convert_to_f32<int32_t>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 16:   convert_to_f32<float>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 64:   convert_to_f32<double>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 256:  convert_to_f32<int8_t>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 512:  convert_to_f32<uint16_t>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 768:  convert_to_f32<uint32_t>(data, f.data(), n, scl_slope, scl_inter); break;
-    case 1024: convert_to_f32<int64_t>(data, f.data(), n, scl_slope, scl_inter); break;
+    case 2:    convert_to_f32<uint8_t>(data, out, n, scl_slope, scl_inter); break;
+    case 4:    convert_to_f32<int16_t>(data, out, n, scl_slope, scl_inter); break;
+    case 8:    convert_to_f32<int32_t>(data, out, n, scl_slope, scl_inter); break;
+    case 16:   convert_to_f32<float>(data, out, n, scl_slope, scl_inter); break;
+    case 64:   convert_to_f32<double>(data, out, n, scl_slope, scl_inter); break;
+    case 256:  convert_to_f32<int8_t>(data, out, n, scl_slope, scl_inter); break;
+    case 512:  convert_to_f32<uint16_t>(data, out, n, scl_slope, scl_inter); break;
+    case 768:  convert_to_f32<uint32_t>(data, out, n, scl_slope, scl_inter); break;
+    case 1024: convert_to_f32<int64_t>(data, out, n, scl_slope, scl_inter); break;
     default: info->error = 6; return 6;
-  }
-
-  // transpose Fortran (x fastest) -> C (x slowest): out[x,y,z] = f[x + y*nx + z*nx*ny]
-  if (ndim == 3) {
-    const int64_t nx = dim[1], ny = dim[2], nz = dim[3];
-    for (int64_t x = 0; x < nx; ++x)
-      for (int64_t y = 0; y < ny; ++y) {
-        const float* src = f.data() + x + y * nx;
-        float* dst = out + (x * ny + y) * nz;
-        for (int64_t z = 0; z < nz; ++z) dst[z] = src[z * nx * ny];
-      }
-  } else if (ndim == 2) {
-    const int64_t nx = dim[1], ny = dim[2];
-    for (int64_t x = 0; x < nx; ++x)
-      for (int64_t y = 0; y < ny; ++y) out[x * ny + y] = f[x + y * nx];
-  } else {
-    // generic layout change: Fortran buffer (axis 0 fastest) -> C buffer
-    // (axis 0 slowest) of the SAME axis order (d0, d1, ..., d_{nd-1})
-    int64_t fshape[8], fstride[8];
-    for (int i = 0; i < ndim; ++i) fshape[i] = dim[1 + i];
-    fstride[0] = 1;
-    for (int i = 1; i < ndim; ++i) fstride[i] = fstride[i - 1] * fshape[i - 1];
-    std::vector<int64_t> idx(ndim, 0);
-    for (int64_t c = 0; c < n; ++c) {
-      int64_t fo = 0;
-      for (int i = 0; i < ndim; ++i) fo += idx[i] * fstride[i];
-      out[c] = f[fo];
-      for (int i = ndim - 1; i >= 0; --i) {  // idx[ndim-1] is the C-fastest axis
-        if (++idx[i] < fshape[i]) break;
-        idx[i] = 0;
-      }
-    }
   }
   return 0;
 }
@@ -208,10 +179,12 @@ extern "C" void jig_one_hot(const int32_t* labels, float* out, int64_t n, int32_
 }
 
 // ---------------------------------------------------------------------------
-// jig_write_nifti: header build + C->Fortran transpose + gzip deflate, all
-// native and GIL-free (ctypes releases the GIL for the call's duration, so
-// the serving path's writer threads overlap volume writes with device
-// compute).  Mirrors the Python codec byte-for-byte
+// jig_write_nifti: header build + gzip deflate, all native and GIL-free
+// (ctypes releases the GIL for the call's duration, so the serving path's
+// writer threads overlap volume writes with device compute).  Input is the
+// C-order (..., z, y, x) array; its buffer is already the file's Fortran
+// voxel order, so no transpose happens.  Mirrors the Python codec
+// byte-for-byte
 // (data/nifti.py:write_nifti): 348-byte header + 4-byte extension flag,
 // vox_offset 352, scl 1/0, qform=sform=1 with diag(spacing) unless an
 // explicit 3x4 sform is given.  Reference writes via SimpleITK
@@ -228,9 +201,9 @@ static int32_t jig_dtype_size(int32_t code) {
   }
 }
 
-// data: C-ordered voxels (axis 0 slowest) with shape in the same axis order
-// the reader exposes; affine12: row-major 3x4 sform rows or NULL; level:
-// gzip 1..9 (.nii.gz only).
+// data: C-ordered voxels in the reader's (..., z, y, x) axis order (header
+// dims are the reversed shape); affine12: row-major 3x4 sform rows or NULL;
+// level: gzip 1..9 (.nii.gz only).
 extern "C" int32_t jig_write_nifti(const char* path, const void* data,
                                    const int64_t* shape, int32_t ndim,
                                    int32_t datatype_code,
@@ -249,7 +222,8 @@ extern "C" int32_t jig_write_nifti(const char* path, const void* data,
   const int32_t sizeof_hdr = 348;
   memcpy(hdr, &sizeof_hdr, 4);
   int16_t dim[8] = {(int16_t)ndim, 1, 1, 1, 1, 1, 1, 1};
-  for (int i = 0; i < ndim; ++i) dim[1 + i] = (int16_t)shape[i];
+  // header dims are (nx, ny, nz, ...) = the reversed C shape
+  for (int i = 0; i < ndim; ++i) dim[1 + i] = (int16_t)shape[ndim - 1 - i];
   memcpy(hdr + 40, dim, 16);
   const int16_t dt16 = (int16_t)datatype_code;
   memcpy(hdr + 70, &dt16, 2);
@@ -276,38 +250,9 @@ extern "C" int32_t jig_write_nifti(const char* path, const void* data,
   memcpy(hdr + 280, srow, sizeof(srow));
   memcpy(hdr + 344, "n+1\x00", 4);
 
-  // --- C -> Fortran voxel order (first axis fastest) ---
-  std::vector<uint8_t> payload((size_t)n * isz);
-  const uint8_t* src = (const uint8_t*)data;
-  if (ndim == 1) {
-    memcpy(payload.data(), src, (size_t)n * isz);
-  } else if (ndim == 3 && isz == 4) {
-    // hot case (f32/i32 volumes): inner loop over x writes sequentially
-    const int64_t nx = shape[0], ny = shape[1], nz = shape[2];
-    const uint32_t* s = (const uint32_t*)src;
-    uint32_t* d = (uint32_t*)payload.data();
-    for (int64_t z = 0; z < nz; ++z)
-      for (int64_t y = 0; y < ny; ++y) {
-        const uint32_t* col = s + y * nz + z;  // stride ny*nz over x
-        uint32_t* row = d + (z * ny + y) * nx;
-        for (int64_t x = 0; x < nx; ++x) row[x] = col[x * ny * nz];
-      }
-  } else {
-    // generic: walk C order, scatter to Fortran offsets
-    int64_t fstride[8];
-    fstride[0] = 1;
-    for (int i = 1; i < ndim; ++i) fstride[i] = fstride[i - 1] * shape[i - 1];
-    std::vector<int64_t> idx(ndim, 0);
-    for (int64_t c = 0; c < n; ++c) {
-      int64_t fo = 0;
-      for (int i = 0; i < ndim; ++i) fo += idx[i] * fstride[i];
-      memcpy(payload.data() + fo * isz, src + c * isz, (size_t)isz);
-      for (int i = ndim - 1; i >= 0; --i) {
-        if (++idx[i] < shape[i]) break;
-        idx[i] = 0;
-      }
-    }
-  }
+  // the C-order (..., z, y, x) buffer is the Fortran voxel stream verbatim
+  const uint8_t* payload = (const uint8_t*)data;
+  const size_t payload_size = (size_t)n * isz;
 
   // --- write (.gz by suffix) ---
   const size_t plen = strlen(path);
@@ -319,9 +264,9 @@ extern "C" int32_t jig_write_nifti(const char* path, const void* data,
     if (gzwrite(f, hdr, 352) != 352) { gzclose(f); return 5; }
     size_t off = 0;
     const size_t chunk = 8u << 20;
-    while (off < payload.size()) {
-      unsigned m = (unsigned)(payload.size() - off < chunk ? payload.size() - off : chunk);
-      if (gzwrite(f, payload.data() + off, m) != (int)m) { gzclose(f); return 5; }
+    while (off < payload_size) {
+      unsigned m = (unsigned)(payload_size - off < chunk ? payload_size - off : chunk);
+      if (gzwrite(f, payload + off, m) != (int)m) { gzclose(f); return 5; }
       off += m;
     }
     if (gzclose(f) != Z_OK) return 5;
@@ -329,7 +274,7 @@ extern "C" int32_t jig_write_nifti(const char* path, const void* data,
     FILE* f = fopen(path, "wb");
     if (!f) return 4;
     if (fwrite(hdr, 1, 352, f) != 352 ||
-        fwrite(payload.data(), 1, payload.size(), f) != payload.size()) {
+        fwrite(payload, 1, payload_size, f) != payload_size) {
       fclose(f);
       return 5;
     }
