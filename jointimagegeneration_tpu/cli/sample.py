@@ -85,6 +85,9 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = load_yaml_config(argv[0], overrides=argv[1:])
     stage = cfg.get("stage", "two_stage")
+    if stage not in ("mask", "ct", "two_stage"):
+        raise ValueError(
+            f"unknown stage {stage!r}: expected 'mask', 'ct', or 'two_stage'")
     outdir = Path(cfg.get("output_path", "samples"))
     outdir.mkdir(parents=True, exist_ok=True)
     seed = cfg.get("seed", 1024)  # ddpm_eval.py seeds everything with 1024
@@ -93,6 +96,11 @@ def main(argv=None):
 
     if stage in ("mask", "two_stage"):
         s1 = cfg.get("stage1", cfg)
+        # step_T_sample is a top-level sampling knob (the reference's
+        # evaluation_vote_strategy, diffusion_denoising.py:218-224); carry
+        # it into the stage1 section build_mask_sampler reads from
+        if "step_T_sample" in cfg and "step_T_sample" not in s1:
+            s1 = {**s1, "step_T_sample": cfg["step_T_sample"]}
         ms = build_mask_sampler(s1)
         spatial = tuple(s1.get("dataset", {}).get("volume_shape", (64, 128, 128)))
         # dense DINO conditioning from config at eval, mirroring training

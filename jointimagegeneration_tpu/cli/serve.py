@@ -253,6 +253,9 @@ def main(argv=None):
     port = int(argv[1]) if len(argv) > 1 else 8787
 
     s1 = cfg.get("stage1", cfg)
+    # top-level step_T_sample reaches the sampler build, as in cli/sample.py
+    if "step_T_sample" in cfg and "step_T_sample" not in s1:
+        s1 = {**s1, "step_T_sample": cfg["step_T_sample"]}
     ms = build_mask_sampler(s1)
     spatial = tuple(s1.get("dataset", {}).get("volume_shape", (64, 128, 128)))
     # dense DINO conditioning from config (same seed rule as training /
@@ -292,7 +295,8 @@ def main(argv=None):
             pipe=TwoStagePipeline(ms, ldm), ldm=ldm, ldm_params=lp,
             ddim=DDIMParams.create(ldm.diffusion, cfg.get("ddim_steps", 50),
                                    method=cfg.get("ddim_discretize",
-                                                  s2.get("ddim_discretize", "uniform"))),
+                                                  s2.get("ddim_discretize", "uniform")),
+                                   eta=cfg.get("ddim_eta", 0.0)),
             volume_shape=tuple(cfg.get("volume_shape", (128, 256, 256))),
         )
     server = HTTPServer(("0.0.0.0", port), make_handler(state))

@@ -74,7 +74,9 @@ def main(argv=None):
     # `init_from:` finetune surgery on the generator (the reference AEs'
     # ckpt_path + ignore_keys route, ldm/models/autoencoder.py:33-47)
     g_params = maybe_init_from(cfg, g_params)
-    lr = m.get("base_learning_rate", 4.5e-6) * cfg.get("batch_size", 1) * mesh.devices.size
+    # Lightning rule = base * n_gpus * per-gpu batch; our batch_size is the
+    # GLOBAL batch sharded over the mesh, so no extra device-count factor
+    lr = m.get("base_learning_rate", 4.5e-6) * cfg.get("batch_size", 1)
     g_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))
     d_tx = build_optimizer("Adam", lr, betas=(0.5, 0.9))
     state = GANTrainState.create(g_params, d_params, g_tx, d_tx)

@@ -2,9 +2,10 @@
 
     python -m jointimagegeneration_tpu.cli.train_ldm <config.yml> <exp_name> [k=v ...]
 
-Learning rate follows the reference scaling rule
-lr = accumulate * n_devices * batch_size * base_lr (main.py:772-776)
-unless `scale_lr: false`.
+Learning rate follows the reference scaling rule (main.py:772-776)
+lr = accumulate * total-samples-per-step * base_lr — here batch_size is
+the global batch, so no separate device-count factor — unless
+`scale_lr: false`.
 """
 
 from __future__ import annotations
@@ -82,9 +83,12 @@ def main(argv=None):
     base_lr = model_cfg.get("base_learning_rate", 2e-6)
     lr = base_lr
     if cfg.get("scale_lr", True):
-        # n_gpus in the reference rule (main.py:772-776) = devices the
-        # mesh actually uses, not the backend count
-        lr = accumulate * mesh.devices.size * batch_size * base_lr
+        # reference rule (main.py:772-776): lr = accum * n_gpus * per-gpu
+        # batch * base = accum * total samples/step * base.  Here
+        # `batch_size` is already the GLOBAL batch (one loader batch
+        # sharded over the mesh), so it must NOT be multiplied by the
+        # device count again.
+        lr = accumulate * batch_size * base_lr
 
     loader = DataLoader(
         train_ds, batch_size, seed=cfg.get("seed", 0),

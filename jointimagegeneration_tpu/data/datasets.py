@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -36,6 +37,25 @@ from .transforms import one_hot_np as _one_hot_py
 from .transforms import window_norm as _window_norm_py
 
 
+class EpochSeededRNG:
+    """Per-item augmentation RNG: every __getitem__ draws from a fresh
+    Generator seeded by (seed, epoch, index).  NumPy Generators are not
+    thread-safe, and the loader's worker pool (loader.py) runs __getitem__
+    concurrently — a shared self.rng would race; per-call seeding is both
+    thread-safe and exactly reproducible.  The loader calls set_epoch each
+    pass (the DistributedSampler.set_epoch idiom) so draws still vary
+    across epochs."""
+
+    _rng_seed: int = 0
+    _epoch: int = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((self._rng_seed, self._epoch, index))
+
+
 def read_nifti(path):
     """NIfTI read through the C++ fast path when built (native/), else the
     pure-Python codec."""
@@ -44,6 +64,17 @@ def read_nifti(path):
         if res is not None:
             return res
     return _read_nifti_py(path)
+
+
+def remap_labels(seg, tumor=None):
+    """TotalSegmentator-id -> class-id remap through the C++ fast path when
+    built (one pass instead of ~10 full-volume boolean scans), else the
+    pure-Python classes.remap_totalseg_labels."""
+    if native_available():
+        out = remap_labels_native(seg, tumor, TOTALSEG_DESIGNATED_LABELS, NUM_CLASSES - 1)
+        if out is not None:
+            return out
+    return remap_totalseg_labels(np.asarray(seg), tumor)
 
 
 def window_norm(image, window_pos=60.0, window_width=360.0):
@@ -80,7 +111,7 @@ def train_val_split(keys: Sequence[str], val_fraction: float = 0.05, seed: int =
     return [k for k in keys if k not in val], [k for k in keys if k in val]
 
 
-class RuijinMaskDataset:
+class RuijinMaskDataset(EpochSeededRNG):
     """Stage-1 mask volumes from a JSON index.
 
     Index schema (one entry per case name):
@@ -109,7 +140,7 @@ class RuijinMaskDataset:
         self.volume_shape = volume_shape
         self.num_classes = num_classes
         self.augment = augment and split == "train"
-        self.rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+        self._rng_seed = seed + (0 if split == "train" else 1)
 
     def __len__(self):
         return len(self.keys)
@@ -123,11 +154,11 @@ class RuijinMaskDataset:
         tumor = None
         if case.get("crcseg"):
             tumor, _ = read_nifti(self._resolve(case["crcseg"]))
-        labels = remap_totalseg_labels(np.asarray(seg), tumor)
+        labels = remap_labels(seg, tumor)
         # reference: tio.Resize to (128,128,64) in (h,w,z); ours is (D,H,W)
         labels = resize_volume(labels, self.volume_shape, method="nearest").astype(np.int32)
         if self.augment:
-            (labels,) = random_flip(self.rng, labels, axis=-1)
+            (labels,) = random_flip(self._item_rng(i), labels, axis=-1)
         mask = one_hot_np(labels, self.num_classes)
         context = None
         if case.get("text_features"):
@@ -147,7 +178,7 @@ class RuijinMaskDataset:
         return item
 
 
-class RuijinSlicePairDataset:
+class RuijinSlicePairDataset(EpochSeededRNG):
     """Stage-2 (image, [prev, mask]) slice pairs from CT+seg volumes.
 
     Mirrors ruijin_pimage_and_mask.PretrainDataset:141-159: window-normed
@@ -173,11 +204,14 @@ class RuijinSlicePairDataset:
         self.slice_shape = slice_shape
         self.num_classes = num_classes
         self.include_volumes = include_volumes or split != "train"
-        self.rng = np.random.default_rng(seed + 17)
+        self._rng_seed = seed + 17
         # preprocessed-volume h5 cache (the reference caches aggressively,
-        # ruijin_pimage_and_mask.py:161-174); built lazily per case
+        # ruijin_pimage_and_mask.py:161-174); built lazily, guarded by a
+        # lock — loader workers are THREADS sharing this object, and HDF5
+        # handles are not thread-safe (double-open also trips file locking)
         self.cache_h5 = cache_h5
         self._h5 = None
+        self._h5_lock = threading.Lock()
 
     def __len__(self):
         return len(self.keys)
@@ -191,7 +225,7 @@ class RuijinSlicePairDataset:
         tumor = None
         if case.get("crcseg"):
             tumor, _ = read_nifti(self._resolve(case["crcseg"]))
-        labels = remap_totalseg_labels(np.asarray(seg), tumor)
+        labels = remap_labels(seg, tumor)
         img = window_norm(np.asarray(img))
         # (D, H, W) with H,W = slice_shape
         img = crop_or_pad(img, (img.shape[0],) + self.slice_shape)
@@ -203,23 +237,27 @@ class RuijinSlicePairDataset:
             return self._load_case_uncached(case)
         import h5py
 
-        if self._h5 is None:
-            self._h5 = h5py.File(self.cache_h5, "a")  # lazy, per worker
-        if key in self._h5:
-            g = self._h5[key]
-            return np.asarray(g["image"]), np.asarray(g["labels"])
+        with self._h5_lock:
+            if self._h5 is None:
+                self._h5 = h5py.File(self.cache_h5, "a")
+            if key in self._h5:
+                g = self._h5[key]
+                return np.asarray(g["image"]), np.asarray(g["labels"])
+        # decode outside the lock so cache misses still load in parallel
         img, labels = self._load_case_uncached(case)
-        g = self._h5.create_group(key)
-        g.create_dataset("image", data=img, compression="lzf")
-        g.create_dataset("labels", data=labels.astype(np.int16), compression="lzf")
-        self._h5.flush()
+        with self._h5_lock:
+            if key not in self._h5:  # another worker may have raced the miss
+                g = self._h5.create_group(key)
+                g.create_dataset("image", data=img, compression="lzf")
+                g.create_dataset("labels", data=labels.astype(np.int16), compression="lzf")
+                self._h5.flush()
         return img, labels
 
     def __getitem__(self, i: int) -> dict:
         case = self.index[self.keys[i]]
         img, labels = self._load_case(case, self.keys[i])
         d = img.shape[0]
-        z = int(self.rng.integers(0, d))
+        z = int(self._item_rng(i).integers(0, d))
         prev = img[z - 1] if z > 0 else np.zeros_like(img[0])
         mask_slice = labels[z].astype(np.float32) / max(self.num_classes - 1, 1)
         item = {
@@ -342,7 +380,7 @@ class RuijinVolumeDataset:
         tumor = None
         if case.get("crcseg"):
             tumor, _ = read_nifti(self._resolve(case["crcseg"]))
-        labels = remap_totalseg_labels(np.asarray(seg), tumor)
+        labels = remap_labels(seg, tumor)
         img = window_norm(np.asarray(img))
         img = resize_volume(img, self.volume_shape, "linear")
         labels = resize_volume(labels, self.volume_shape, "nearest").astype(np.int32)
@@ -356,7 +394,7 @@ class RuijinVolumeDataset:
         return item
 
 
-class NNUNetLayoutDataset:
+class NNUNetLayoutDataset(EpochSeededRNG):
     """nnUNet-style folder layout: imagesTr/<case>_0000.nii.gz +
     labelsTr/<case>.nii.gz (equivalent of ldm/data/cmu.py:40-108)."""
 
@@ -372,7 +410,7 @@ class NNUNetLayoutDataset:
         self.slice_shape = slice_shape
         self.num_classes = num_classes
         self.include_volumes = include_volumes or split != "train"
-        self.rng = np.random.default_rng(seed + 31)
+        self._rng_seed = seed + 31
 
     def __len__(self):
         return len(self.keys)
@@ -385,7 +423,7 @@ class NNUNetLayoutDataset:
         labels = np.asarray(labels).astype(np.int32)
         img = crop_or_pad(img, (img.shape[0],) + self.slice_shape)
         labels = crop_or_pad(labels, (labels.shape[0],) + self.slice_shape)
-        z = int(self.rng.integers(0, img.shape[0]))
+        z = int(self._item_rng(i).integers(0, img.shape[0]))
         prev = img[z - 1] if z > 0 else np.zeros_like(img[0])
         mask_slice = labels[z].astype(np.float32) / max(self.num_classes - 1, 1)
         item = {

@@ -3,7 +3,9 @@ and ldm/data/base.py): H5 volumes, file lists, transformed image+label pairs."""
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import threading
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence
 
@@ -21,6 +23,9 @@ class H5Dataset:
 
         self.path = str(path)
         self._h5: Optional["h5py.File"] = None
+        # loader workers are threads sharing this object; HDF5 handles are
+        # not thread-safe, so the lazy open and every read serialize here
+        self._h5_lock = threading.Lock()
         with h5py.File(self.path, "r") as f:
             self.keys = list(keys or f.keys())
         self.transform = transform
@@ -29,18 +34,19 @@ class H5Dataset:
         import h5py
 
         if self._h5 is None:
-            self._h5 = h5py.File(self.path, "r")  # opened lazily per worker
+            self._h5 = h5py.File(self.path, "r")
         return self._h5
 
     def __len__(self):
         return len(self.keys)
 
     def __getitem__(self, i: int):
-        node = self._file()[self.keys[i]]
-        if hasattr(node, "keys"):
-            item = {k: np.asarray(node[k]) for k in node.keys()}
-        else:
-            item = {"data": np.asarray(node)}
+        with self._h5_lock:
+            node = self._file()[self.keys[i]]
+            if hasattr(node, "keys"):
+                item = {k: np.asarray(node[k]) for k in node.keys()}
+            else:
+                item = {"data": np.asarray(node)}
         item["casename"] = self.keys[i]
         return self.transform(item) if self.transform else item
 
@@ -56,7 +62,9 @@ class FileListDataset:
             if p.is_file() and p.suffix in (".txt", ".lst"):
                 self.files = [l.strip() for l in p.read_text().splitlines() if l.strip()]
             else:
-                self.files = sorted(str(f) for f in Path(".").glob(files))
+                # glob.glob handles absolute patterns; Path('.').glob raises
+                # on them and silently depends on the cwd for relative ones
+                self.files = sorted(_glob.glob(files))
         else:
             self.files = list(files)
         self.loader = loader or _default_loader
@@ -110,7 +118,10 @@ class TransformedPairDataset:
         return item
 
 
-class ImageFolderDataset:
+from .datasets import EpochSeededRNG
+
+
+class ImageFolderDataset(EpochSeededRNG):
     """Images under a directory tree (LSUN/ImageNet-style stock datasets,
     ldm/data/lsun.py, imagenet.py), returned as [0,1] float channels-last,
     optionally center-cropped/resized and SR-degraded."""
@@ -121,7 +132,7 @@ class ImageFolderDataset:
         self.files = sorted(str(p) for p in root_p.rglob("*") if p.suffix.lower() in exts)
         self.size = size
         self.sr_factor = sr_factor
-        self.rng = np.random.default_rng(seed)
+        self._rng_seed = seed
 
     def __len__(self):
         return len(self.files)
@@ -141,6 +152,6 @@ class ImageFolderDataset:
         if self.sr_factor:
             from .degradation import degradation_pipeline
 
-            lr, hr = degradation_pipeline(img, self.rng, sf=self.sr_factor)
+            lr, hr = degradation_pipeline(img, self._item_rng(i), sf=self.sr_factor)
             item["lr"] = lr
         return item

@@ -110,6 +110,11 @@ class DataLoader:
         num_workers semantics), with up to num_workers + prefetch batches
         in flight so H2D overlaps the previous step's compute."""
         indices = self._epoch_indices()
+        # epoch-seeded datasets (datasets.EpochSeededRNG) vary their per-item
+        # augmentation draws by epoch without shared Generator state
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if callable(set_epoch):
+            set_epoch(self.epoch)
         self.epoch += 1
         nb = len(indices) // self.batch_size if self.drop_last else -(-len(indices) // self.batch_size)
         batches = [indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]

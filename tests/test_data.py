@@ -139,3 +139,51 @@ def test_dataloader_rejects_batch_larger_than_dataset():
     ds = SyntheticMaskDataset(num_cases=2, volume_shape=(2, 4, 4), num_classes=3)
     with _pytest.raises(ValueError, match="smaller than batch_size"):
         DataLoader(ds, batch_size=4)
+
+
+def test_slice_pair_h5_cache_concurrent_and_epoch_rng(tmp_path):
+    """The h5 cache survives concurrent loader workers (handle is shared
+    across threads behind a lock) and the per-item RNG is epoch-varying
+    yet exactly reproducible — regression for the shared-Generator and
+    check-then-open races."""
+    from jointimagegeneration_tpu.data.datasets import RuijinSlicePairDataset
+
+    rng = np.random.default_rng(3)
+    index = {}
+    for name in ["a", "b", "c", "d"]:
+        img = rng.normal(0, 100, (5, 8, 8)).astype(np.float32)
+        seg = rng.choice([0, 1, 5], (5, 8, 8)).astype(np.int16)
+        write_nifti(tmp_path / f"{name}_img.nii.gz", img)
+        write_nifti(tmp_path / f"{name}_seg.nii.gz", seg)
+        index[name] = {"image": f"{name}_img.nii.gz", "totalseg": f"{name}_seg.nii.gz"}
+    ipath = tmp_path / "index.json"
+    ipath.write_text(json.dumps(index))
+
+    def build():
+        return RuijinSlicePairDataset(
+            str(ipath), split="train", slice_shape=(8, 8), val_fraction=0.25,
+            cache_h5=str(tmp_path / "cache.h5"), seed=5)
+
+    ds = build()
+    dl = DataLoader(ds, batch_size=1, shuffle=False, seed=0, num_workers=3)
+    epoch1 = [np.asarray(b["image"]) for b in dl]   # epoch 0: builds cache under contention
+    epoch2 = [np.asarray(b["image"]) for b in dl]   # epoch 1: cache hits + new z draws
+
+    # same pipeline re-run from scratch reproduces epoch 0 exactly
+    ds2 = build()
+    dl2 = DataLoader(ds2, batch_size=1, shuffle=False, seed=0, num_workers=3)
+    epoch1_again = [np.asarray(b["image"]) for b in dl2]
+    for x, y in zip(epoch1, epoch1_again):
+        np.testing.assert_array_equal(x, y)
+    # epochs differ (z re-drawn per epoch) for at least one item
+    assert any(not np.array_equal(x, y) for x, y in zip(epoch1, epoch2))
+
+
+def test_filelist_dataset_absolute_glob(tmp_path):
+    from jointimagegeneration_tpu.data.generic import FileListDataset
+
+    for i in range(3):
+        np.save(tmp_path / f"f{i}.npy", np.full((2, 2), i, np.float32))
+    ds = FileListDataset(str(tmp_path / "*.npy"))  # absolute glob pattern
+    assert len(ds) == 3
+    np.testing.assert_array_equal(ds[1]["image"], np.full((2, 2), 1, np.float32))

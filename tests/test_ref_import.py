@@ -212,3 +212,33 @@ def test_script_end_to_end(tmp_path, capsys, monkeypatch):
     assert "cli.train_mask" in cap.err
     loaded = yaml.safe_load(dst.read_text())
     assert loaded["unet_openai"]["base_channels"] == 64
+
+
+def test_top_level_step_T_sample_reaches_sampler_build():
+    """Imported eval configs keep step_T_sample at the top level; the sample
+    CLI must carry it into the stage1 section build_mask_sampler reads, or
+    the vote strategy silently falls back to 'majority'."""
+    cfg = {"step_T_sample": "confidence",
+           "stage1": {"num_classes": 4, "time_steps": 8, "bf16": False,
+                      "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                                      "attention_resolutions": [2],
+                                      "num_head_channels": 4}}}
+    s1 = cfg.get("stage1", cfg)
+    if "step_T_sample" in cfg and "step_T_sample" not in s1:  # cli/sample.py logic
+        s1 = {**s1, "step_T_sample": cfg["step_T_sample"]}
+    from jointimagegeneration_tpu.cli.common import build_mask_sampler
+
+    ms = build_mask_sampler(s1)
+    assert ms.step_T_sample == "confidence"
+
+
+def test_sample_cli_rejects_unknown_stage(tmp_path):
+    import pytest
+    import yaml
+
+    from jointimagegeneration_tpu.cli import sample as sample_cli
+
+    p = tmp_path / "bad.yml"
+    p.write_text(yaml.safe_dump({"stage": "masks"}))
+    with pytest.raises(ValueError, match="unknown stage"):
+        sample_cli.main([str(p)])
