@@ -8,7 +8,7 @@ denoise step = UNet forward + closed-form categorical posterior +
 categorical draw.
 
 Additional metrics (BASELINE.md milestones, VERDICT round-1 item #9):
-  * stage-1 train steps/sec (full-size fwd+bwd+Adam+EMA, remat, batch 1)
+  * stage-1 train steps/sec (full-size fwd+bwd+Adam+EMA, no remat, batch 1)
   * stage-2 DDIM denoise steps/sec at 512^2 (UNet base 128, mult
     [1,2,4,4,5], concat-cond — ruijin-ldm_from_controlnet.yaml:24-40)
   * end-to-end two-stage latency: 25-step mask sample at 64x128x128 +
@@ -120,10 +120,14 @@ def bench_stage1_train():
     from jointimagegeneration_tpu.train import EMATrainState, build_optimizer, make_mask_train_step
 
     spatial = (64, 128, 128)
+    # remat=False: the full fwd+bwd fits since the round-3 data-formatting
+    # fixes (XLA memory_analysis: peak 14.54 GiB of 16; rounds 1-2 it OOMed
+    # by ~170 MB) and is the measured 1.09x winner over per-ResBlock remat
+    # (567.5 vs 618.1 ms/step, identical loss trajectory — BENCH_NOTES).
     model = MaskSampler.create(
         num_classes=12, time_steps=1000, model_channels=64,
         channel_mult=(1, 2, 2, 4, 5), attention_resolutions=(32, 16, 8),
-        num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16, remat=True,
+        num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16, remat=False,
     )
     params = model.init_params(jax.random.key(0), spatial, cond_channels=1)
     tx = build_optimizer("AdamW", 1e-4)
@@ -133,10 +137,10 @@ def bench_stage1_train():
         "mask": jax.nn.one_hot(jnp.zeros((1, *spatial), jnp.int32), 12),
         "image": jnp.zeros((1, *spatial, 1)),
     }
-    # single-step program (not a scan chain): the fwd+bwd+remat graph at
+    # single-step program (not a scan chain): the fwd+bwd graph at
     # full shape is near the remote compile helper's memory ceiling — a
     # 4-step scan of it gets the helper SIGKILLed.  Per-step dispatch is
-    # ~1 ms against a ~600 ms step, so timing sequential calls is faithful.
+    # ~1 ms against a ~570 ms step, so timing sequential calls is faithful.
     jstep = jax.jit(step, donate_argnums=(0,))
     state, m = jstep(state, batch, jax.random.key(1))
     _ = float(m["loss"])  # warm: compile + relay
