@@ -4,7 +4,7 @@ The stage-1 hot op: every ResBlock runs 3^3 convs over (D, H, W, C)
 volumes (SURVEY.md §2.4).  The kernel restructures the contraction as one
 MXU-friendly matmul per (depth, row-tile) program:
 
-  * the padded input stays in HBM (`pltpu.ANY`); each program DMAs just
+  * the padded input stays in HBM (`pl.ANY`); each program DMAs just
     its (3, TH+2, W+2, C) halo window into VMEM scratch
     (`make_async_copy`) — overlapping windows that BlockSpec tiling can't
     express, and a VMEM footprint independent of H;
@@ -136,7 +136,7 @@ def _conv3d_3x3_impl(x, kernel, tile_h, activate):
         functools.partial(_kernel, th=tile_h, w_out=w, w_pad=w_pad, cin=cin, activate=activate),
         grid=(d, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
