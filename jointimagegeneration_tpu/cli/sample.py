@@ -23,6 +23,7 @@ import numpy as np
 
 from ..core.checkpoint import CheckpointManager
 from ..core.config import load_yaml_config
+from ..core.runtime import enable_persistent_compile_cache
 from ..diffusion.ddim import DDIMParams
 from ..eval.metrics import per_class_dice
 from ..eval.writers import image_volume_to_grid, labels_to_grid, save_grid_png, save_image_volume, save_label_volume
@@ -84,6 +85,7 @@ def _write_ct_case(cdir, ct: np.ndarray, labels: np.ndarray) -> None:
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = load_yaml_config(argv[0], overrides=argv[1:])
+    enable_persistent_compile_cache()
     stage = cfg.get("stage", "two_stage")
     if stage not in ("mask", "ct", "two_stage"):
         raise ValueError(

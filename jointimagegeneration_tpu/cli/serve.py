@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import load_yaml_config
+from ..core.runtime import enable_persistent_compile_cache
 from ..diffusion.ddim import DDIMParams
 from ..pipeline import TwoStagePipeline
 from .common import build_mask_sampler, build_slice_ldm, feature_cond
@@ -250,6 +251,7 @@ def make_handler(state: dict):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = load_yaml_config(argv[0])
+    enable_persistent_compile_cache()
     port = int(argv[1]) if len(argv) > 1 else 8787
 
     s1 = cfg.get("stage1", cfg)

@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.config import load_yaml_config
+from ..core.runtime import enable_persistent_compile_cache
 from ..core.checkpoint import CheckpointManager
 from ..core.logging import MetricLogger, Throughput
 from ..data.loader import DataLoader
@@ -38,6 +39,7 @@ def main(argv=None):
     from ..parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    enable_persistent_compile_cache()
     mesh = make_mesh_for_batch(cfg.get("batch_size", 1))
     dims = dd.get("dims", 2)
     # `model.type: vq` trains the VQGAN variant (reference VQModel +

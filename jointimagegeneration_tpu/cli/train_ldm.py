@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.config import load_yaml_config
+from ..core.runtime import enable_persistent_compile_cache
 from ..data.loader import DataLoader
 from ..parallel.mesh import make_mesh_for_batch, replicate
 from ..train import (
@@ -46,6 +47,7 @@ def main(argv=None):
     from ..parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    enable_persistent_compile_cache()
     mesh = make_mesh_for_batch(cfg.get("batch_size", 1))
     model = build_slice_ldm(model_cfg)
     train_ds = build_slice_dataset(cfg, "train")

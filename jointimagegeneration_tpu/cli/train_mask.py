@@ -17,6 +17,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.config import load_yaml_config
+from ..core.runtime import enable_persistent_compile_cache
 from ..data.loader import DataLoader
 from ..eval.metrics import per_class_dice
 from ..parallel.mesh import make_mesh_for_batch, replicate
@@ -38,6 +39,7 @@ def main(argv=None):
     from ..parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    enable_persistent_compile_cache()
     mesh = make_mesh_for_batch(cfg.get("batch_size", 1))
     model = build_mask_sampler(cfg)
     train_ds = build_mask_dataset(cfg, "train")

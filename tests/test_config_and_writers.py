@@ -134,3 +134,17 @@ def test_metric_logger_png_fifo_duplicates_and_restart(tmp_path):
         lg2.image(s, "val/resumed", img)
     assert len(list((tmp_path / "run" / "images").glob("*.png"))) == lg2.max_images
     lg2.close()
+
+
+def test_persistent_compile_cache_noop_on_cpu():
+    """The CLI cache helper must NOT enable a compilation cache on the CPU
+    backend: CPU artifacts carry machine features that SIGILL under a
+    different host profile, and the test suite must never populate one
+    (BENCH_NOTES round 3). On accelerators it enables ~/.jax_cache."""
+    import jax
+
+    from jointimagegeneration_tpu.core.runtime import enable_persistent_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    assert enable_persistent_compile_cache() is False  # suite runs on CPU
+    assert jax.config.jax_compilation_cache_dir == before
