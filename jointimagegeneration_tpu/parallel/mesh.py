@@ -49,21 +49,49 @@ def maybe_initialize_distributed() -> None:
             raise
 
 
+def _num_slices(devices) -> int:
+    """Distinct ICI domains among `devices` (multi-slice topologies expose
+    `slice_index`; single-slice and non-TPU devices count as one)."""
+    return len({getattr(d, "slice_index", 0) or 0 for d in devices})
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """('data', 'model') mesh over all (or given) devices; data fills the
-    remainder by default."""
+    remainder by default.
+
+    Device ordering is topology-aware, not enumeration order: the 'model'
+    axis carries the heaviest traffic (spatial-sharding conv halo
+    exchanges every block), so its devices must be ICI nearest neighbours
+    on the physical torus — `mesh_utils.create_device_mesh` solves that
+    assignment; on multi-slice topologies (chips connected over DCN, no
+    ICI between slices) `create_hybrid_device_mesh` keeps 'model' entirely
+    inside each slice and spreads only 'data' (one psum per step) across
+    the DCN — the "collectives ride ICI, not DCN" layout.  Non-TPU
+    backends (the CPU test mesh) reduce to the plain reshape."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
         assert n % model == 0, (n, model)
         data = n // model
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+    try:
+        from jax.experimental import mesh_utils
+
+        n_slices = _num_slices(devices)
+        if n_slices > 1 and data % n_slices == 0:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data // n_slices, model), (n_slices, 1), devices=devices)
+        else:
+            arr = mesh_utils.create_device_mesh((data, model), devices=devices)
+        return Mesh(arr, ("data", "model"))
+    except Exception:
+        # subset meshes / exotic topologies mesh_utils cannot solve
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, ("data", "model"))
 
 
 def make_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:

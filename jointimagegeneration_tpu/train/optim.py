@@ -186,6 +186,16 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     """optax mirror of ccdm build_optimizer defaults (optimizer.py:27-39):
     SGD wd=5e-4 momentum=.9; Adam plain; AdamW wd=0.01."""
+    # YAML 1.1 parses exponent literals without a decimal point ("1e-3",
+    # "5e-4") as STRINGS — coerce the numerics that commonly arrive from
+    # config files so such a value trains instead of crashing in optax
+    learning_rate = float(learning_rate)
+    if weight_decay is not None:
+        weight_decay = float(weight_decay)
+    if grad_clip is not None:
+        grad_clip = float(grad_clip)
+    betas = tuple(float(b) for b in betas)
+    momentum = float(momentum)
     sched = build_lr_schedule(lr_function, learning_rate, total_steps, lr_params, lr_restarts, lr_restart_vals)
     if name == "SGD":
         wd = 0.0005 if weight_decay is None else weight_decay

@@ -93,11 +93,19 @@ class Trainer:
                 with open(cfg_dir / "run-config.yaml", "w") as f:
                     yaml.safe_dump(run_config, f, default_flow_style=False, sort_keys=False)
         # SIGUSR1 -> checkpoint now (latentdiffusion/main.py:784-795 melk);
-        # SIGUSR2 -> drop into the debugger (main.py:798-801 divein)
+        # SIGUSR2 -> drop into the debugger (main.py:798-801 divein);
+        # SIGTERM -> checkpoint and stop cleanly: cloud TPU preemption /
+        # maintenance delivers SIGTERM with a short grace window, so a
+        # preempted run leaves a resumable checkpoint and exits 0 for the
+        # orchestrator to reschedule (the 'optional preemption handler' of
+        # SURVEY §2.3's elastic row; the reference has no equivalent — its
+        # closest is checkpoint-on-exception, main.py:804-809)
         self._usr1 = False
+        self._term = False
         try:
             signal.signal(signal.SIGUSR1, lambda *_: setattr(self, "_usr1", True))
             signal.signal(signal.SIGUSR2, self._divein)
+            signal.signal(signal.SIGTERM, lambda *_: setattr(self, "_term", True))
         except (ValueError, OSError):
             pass  # not in main thread
 
@@ -151,9 +159,17 @@ class Trainer:
                         self._log(step, metrics)
                         tput.reset()
 
+                    saved_this_step = False
                     if step % cfg.save_every == 0 or self._usr1:
                         self.ckpt.save(step, jax.device_get(self.state))
                         self._usr1 = False
+                        saved_this_step = True
+
+                    if self._term:
+                        if not saved_this_step:
+                            self.ckpt.save(step, jax.device_get(self.state))
+                        print(f"SIGTERM — checkpointed step {step}, stopping for preemption")
+                        return self.state
 
                     if cfg.save_weights_every and step % cfg.save_weights_every == 0:
                         self.ckpt.save_weights(step, jax.device_get({

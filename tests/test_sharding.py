@@ -149,3 +149,38 @@ def test_make_mesh_for_batch_uses_compatible_subset():
     assert make_mesh_for_batch(6).devices.size == 6  # largest divisor, not gcd
     assert make_mesh_for_batch(4, model=2).devices.size == 8
     assert make_mesh_for_batch(16).devices.size == 8
+
+
+def test_make_mesh_covers_all_devices_topology_path():
+    """make_mesh routes through mesh_utils.create_device_mesh (topology-aware
+    assignment on real TPU; plain reshape on CPU) — every device appears
+    exactly once whatever the ordering."""
+    mesh = make_mesh(data=4, model=2)
+    ids = sorted(d.id for d in mesh.devices.flat)
+    assert ids == sorted(d.id for d in jax.devices())
+
+
+def test_make_mesh_hybrid_multislice(monkeypatch):
+    """On multi-slice topologies the 'model' axis must stay inside a slice
+    (ICI) and only 'data' crosses the DCN: make_mesh must call
+    create_hybrid_device_mesh with the per-slice mesh (data/n_slices, model)
+    and dcn mesh (n_slices, 1)."""
+    from jax.experimental import mesh_utils
+
+    from jointimagegeneration_tpu.parallel import mesh as mesh_mod
+
+    calls = {}
+
+    def fake_hybrid(mesh_shape, dcn_mesh_shape, devices=None, **kw):
+        calls["mesh_shape"] = tuple(mesh_shape)
+        calls["dcn_mesh_shape"] = tuple(dcn_mesh_shape)
+        import numpy as np
+
+        full = tuple(m * d for m, d in zip(mesh_shape, dcn_mesh_shape))
+        return np.asarray(devices).reshape(full)
+
+    monkeypatch.setattr(mesh_mod, "_num_slices", lambda devs: 2)
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
+    mesh = make_mesh(data=4, model=2)
+    assert calls == {"mesh_shape": (2, 2), "dcn_mesh_shape": (2, 1)}
+    assert mesh.shape == {"data": 4, "model": 2}

@@ -112,3 +112,14 @@ def test_ldm_train_step_runs():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert "loss_simple" in metrics and "loss_vlb" in metrics
+
+
+def test_build_optimizer_coerces_yaml_string_numerics():
+    """YAML 1.1 parses '1e-3' (no decimal point) as a string; the factory
+    must coerce it so configs written with exponent literals train."""
+    tx = build_optimizer("AdamW", learning_rate="1e-3", weight_decay="1e-2",
+                         grad_clip="1e0", betas=("0.9", "0.999"))
+    p = {"w": jnp.ones((3,))}
+    st = tx.init(p)
+    upd, _ = tx.update({"w": jnp.ones((3,))}, st, p)
+    assert float(jnp.abs(upd["w"]).max()) > 0

@@ -100,3 +100,22 @@ def test_checkpoint_best_sign_consistency(tmp_path):
     mgr.save(3, {"w": np.ones(1) * 3}, score=-0.5)
     mgr.wait()
     assert mgr.best_step() == 2
+
+
+def test_sigterm_graceful_stop(setup):
+    """Preemption semantics: with the SIGTERM flag raised, fit() checkpoints
+    the current step and returns instead of training to max_steps — a
+    preempted run is resumable and exits cleanly (SURVEY §2.3 elastic row;
+    the reference has no preemption handler)."""
+    model, state, loader, step, tmp_path = setup
+    cfg = TrainerConfig(logdir=str(tmp_path / "term"), max_steps=50, log_every=100,
+                        save_every=100, eval_every=100)
+    tr = Trainer(cfg, state, step, loader)
+    tr._term = True  # as the signal handler would set it mid-run
+    final = tr.fit()
+    assert int(final.step) == 1  # stopped after the first step
+    tr.ckpt.wait()
+    assert tr.ckpt.latest_step() == 1
+    # and the run resumes from the preemption checkpoint
+    tr2 = Trainer(cfg, EMATrainState.create(final.params, final.tx), step, loader, resume=True)
+    assert int(tr2.state.step) == 1
