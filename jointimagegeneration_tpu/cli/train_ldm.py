@@ -204,6 +204,7 @@ def main(argv=None):
                 save_every=cfg.get("save_freq", 1000),
                 eval_every=cfg.get("eval_every", 5000),
                 save_weights_every=cfg.get("save_weights_every"),
+                profile_steps=int(cfg.get("profile_steps", 0) or 0),
                 seed=cfg.get("seed", 0),
             ),
             state, step_fn, loader,

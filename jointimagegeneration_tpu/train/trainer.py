@@ -48,6 +48,11 @@ class TrainerConfig:
     # save_top_k=-1 + save_weights_only, main.py:720-736); None = off (default,
     # as in the reference where the callback is opt-in)
     save_weights_every: Optional[int] = None
+    # capture a jax.profiler device trace of N post-warmup steps into
+    # <logdir>/profile and print the top-op device-time summary — the
+    # config-drivable replacement for Lightning's exit profiler summary
+    # (latentdiffusion/main.py:828); 0 = off
+    profile_steps: int = 0
     seed: int = 0
 
 
@@ -127,6 +132,12 @@ class Trainer:
         # steps 1..N from the original run (fresh runs: fold_in(key, 0))
         key = jax.random.fold_in(jax.random.key(cfg.seed), step)
         tput = Throughput()
+        # profiler window: start after the compile+warmup steps (or
+        # immediately when the run is too short to afford skipping them)
+        prof_start = None
+        if cfg.profile_steps and is_chief():
+            prof_start = step + 3 if cfg.max_steps - step > cfg.profile_steps + 3 else step + 1
+        prof_active = False
         try:
             while step < cfg.max_steps:
                 epoch_batches = 0
@@ -134,10 +145,22 @@ class Trainer:
                     epoch_batches += 1
                     if step >= cfg.max_steps:
                         break
+                    if prof_start is not None and not prof_active and step + 1 == prof_start:
+                        try:
+                            jax.profiler.start_trace(str(Path(cfg.logdir) / "profile"))
+                            prof_active = True
+                        except Exception as e:  # backend without trace support
+                            print(f"profiler: start_trace failed: {e}")
+                            prof_start = None
                     key, sub = jax.random.split(key)
                     arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
                     self.state, metrics = self.train_step(self.state, arrays, sub)
                     step += 1
+                    if prof_active and step >= prof_start + cfg.profile_steps - 1:
+                        jax.block_until_ready(self.state)  # close the async window
+                        jax.profiler.stop_trace()
+                        prof_active = False
+                        self._print_trace_summary()
                     bsz = next(iter(arrays.values())).shape[0]
                     tput.update(bsz)
 
@@ -194,5 +217,28 @@ class Trainer:
             self.ckpt.save(step, jax.device_get(self.state))
             raise
         finally:
+            if prof_active:  # run ended inside the capture window
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
             self.ckpt.wait()
         return self.state
+
+    def _print_trace_summary(self, top_k: int = 10):
+        from ..core.logging import summarize_trace
+
+        try:
+            rows = summarize_trace(str(Path(self.cfg.logdir) / "profile"),
+                                   top_k=top_k, group="category")
+        except Exception as e:
+            print(f"profiler: trace summary unavailable: {e}")
+            return
+        if not rows:
+            print(f"profiler: trace written to {self.cfg.logdir}/profile (no device events parsed)")
+            return
+        total = sum(r[1] for r in rows)
+        print(f"profiler: {self.cfg.profile_steps}-step device trace "
+              f"({self.cfg.logdir}/profile), top categories:")
+        for key_, ms, count, gflop, gbytes in rows[:top_k]:
+            print(f"  {key_:<28s} {ms:9.2f} ms ({100 * ms / max(total, 1e-9):5.1f}%)  n={count}")

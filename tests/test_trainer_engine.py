@@ -102,6 +102,26 @@ def test_checkpoint_best_sign_consistency(tmp_path):
     assert mgr.best_step() == 2
 
 
+def test_profiler_window_captures_trace(setup, capsys):
+    """`profile_steps: N` (the config-drivable replacement for Lightning's
+    exit profiler summary, latentdiffusion/main.py:828): fit() captures a
+    jax.profiler trace of N steps into <logdir>/profile and still trains
+    to max_steps; the capture must not disturb the training result."""
+    model, state, loader, step, tmp_path = setup
+    cfg = TrainerConfig(logdir=str(tmp_path / "prof"), max_steps=4, log_every=100,
+                        save_every=100, eval_every=100, profile_steps=2)
+    tr = Trainer(cfg, state, step, loader)
+    final = tr.fit()
+    assert int(final.step) == 4
+    prof_dir = tmp_path / "prof" / "profile"
+    assert prof_dir.exists()
+    # a trace capture was actually written (xplane or trace.json.gz artifacts)
+    artifacts = list(prof_dir.rglob("*.xplane.pb")) + list(prof_dir.rglob("*.trace.json.gz"))
+    assert artifacts, f"no trace artifacts under {prof_dir}"
+    out = capsys.readouterr().out
+    assert "profiler:" in out  # summary (or honest no-device-events note) printed
+
+
 def test_sigterm_graceful_stop(setup):
     """Preemption semantics: with the SIGTERM flag raised, fit() checkpoints
     the current step and returns instead of training to max_steps — a
