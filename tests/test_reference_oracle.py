@@ -1,0 +1,369 @@
+"""Numerical parity against the REFERENCE'S OWN torch code as the oracle.
+
+The *_golden / *_parity tests drive hand-written torch replicas of the
+reference semantics; these tests instead load the reference's actual
+modules from /root/reference (file-by-file, without installing its
+ignite/lightning dependency stack) and assert our JAX implementations
+reproduce their numbers bit-for-bit (fp32 tolerance).  A misunderstanding
+shared by a replica and our implementation cannot slip through this.
+
+Oracles exercised:
+  * ccdm categorical schedules + DiffusionModel forward kernels +
+    theta_post / theta_post_prob (diffusion_denoising.py:18-139)
+  * ccdm K-step subset encoding (diffusion_denoising.py:190-197)
+  * ccdm LRFcts multipliers (lr_functions.py:5-139)
+  * ccdm guided-diffusion UNetModel full forward, 2D and 3D, through our
+    checkpoint converter (unet_openai/unet.py:402-823)
+  * LDM make_beta_schedule / make_ddim_timesteps /
+    make_ddim_sampling_parameters / timestep_embedding
+    (ldm/modules/diffusionmodules/util.py:21-170)
+
+Skipped wholesale when /root/reference is not present.
+"""
+
+import importlib.util
+import math
+import sys
+import types
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = Path("/root/reference")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference checkout not available"),
+]
+
+
+# ---------------------------------------------------------------------------
+# loaders: execute reference modules without their package side effects
+# ---------------------------------------------------------------------------
+
+
+def _load_file(name: str, path: Path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@lru_cache(maxsize=None)
+def _ccdm_diffusion():
+    """ccdm models/diffusion_denoising.py (+ its one sibling import),
+    loaded under a synthetic package so the relative import resolves
+    WITHOUT running models/__init__.py (which pulls in the builder)."""
+    pkgdir = REF / "ccdm" / "ddpm" / "models"
+    pkg = types.ModuleType("_ref_ccdm")
+    pkg.__path__ = [str(pkgdir)]
+    sys.modules["_ref_ccdm"] = pkg
+    _load_file("_ref_ccdm.one_hot_categorical", pkgdir / "one_hot_categorical.py")
+    return _load_file("_ref_ccdm.diffusion_denoising", pkgdir / "diffusion_denoising.py")
+
+
+@lru_cache(maxsize=None)
+def _ccdm_lr():
+    return _load_file("_ref_ccdm_lr", REF / "ccdm" / "ddpm" / "lr_functions.py")
+
+
+@lru_cache(maxsize=None)
+def _ccdm_unet():
+    """unet_openai package (unet/nn/attention/fp16_util) — its __init__ only
+    imports torch/einops/numpy code, safe to execute as-is."""
+    pkgdir = REF / "ccdm" / "ddpm" / "models" / "unet_openai"
+    spec = importlib.util.spec_from_file_location(
+        "_ref_unet_openai", pkgdir / "__init__.py",
+        submodule_search_locations=[str(pkgdir)])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_unet_openai"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@lru_cache(maxsize=None)
+def _ldm_util():
+    """ldm/modules/diffusionmodules/util.py.  Its `from models.util import
+    instantiate_from_config` names a module the reference ships only as a
+    pyc (SURVEY §2.2 missing sources) — satisfy it with a stub."""
+    if "models.util" not in sys.modules:
+        stub_pkg = sys.modules.setdefault("models", types.ModuleType("models"))
+        stub = types.ModuleType("models.util")
+        stub.instantiate_from_config = lambda *a, **k: None
+        stub_pkg.util = stub
+        sys.modules["models.util"] = stub
+    return _load_file(
+        "_ref_ldm_util",
+        REF / "latentdiffusion" / "ldm" / "modules" / "diffusionmodules" / "util.py")
+
+
+# ---------------------------------------------------------------------------
+# ccdm categorical process
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("schedule", ["linear", "cosine"])
+def test_categorical_schedules_match_reference(schedule):
+    from jointimagegeneration_tpu.ops import schedules as sched
+
+    dd = _ccdm_diffusion()
+    for steps in (10, 50):
+        fn = {"linear": dd.linear_schedule, "cosine": dd.cosine_schedule}[schedule]
+        betas, alphas, cumalphas = (x.numpy() for x in fn(steps))
+        ours = sched.make_categorical_schedule(schedule, steps)
+        np.testing.assert_allclose(ours.betas, betas, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(ours.alphas, alphas, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(ours.cumalphas, cumalphas, rtol=1e-6, atol=1e-7)
+
+
+def _rand_probs(rs, shape_bchw):
+    p = rs.rand(*shape_bchw).astype(np.float32) + 1e-3
+    return p / p.sum(axis=1, keepdims=True)
+
+
+def _one_hot_bchw(rs, shape_bchw):
+    c = shape_bchw[1]
+    idx = rs.randint(0, c, (shape_bchw[0],) + tuple(shape_bchw[2:]))
+    return np.moveaxis(np.eye(c, dtype=np.float32)[idx], -1, 1)
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_categorical_process_matches_reference(dims):
+    """Forward kernels + theta_post + theta_post_prob vs the reference
+    DiffusionModel, incl. the t==1 boundary overrides and the closed-form
+    O(C) contraction vs the reference's C×C einsum."""
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.diffusion.categorical import CategoricalDiffusion
+
+    dd = _ccdm_diffusion()
+    T, C = 10, 5
+    spatial = (4, 4) if dims == 2 else (2, 4, 4)
+    shape = (3, C) + spatial
+    ref = dd.DiffusionModel("cosine", T, C, dims=dims)
+    ours = CategoricalDiffusion.create("cosine", T, C)
+
+    rs = np.random.RandomState(0)
+    x0 = _one_hot_bchw(rs, shape)
+    xt = _one_hot_bchw(rs, shape)
+    theta_x0 = _rand_probs(rs, shape)
+    t = np.array([1, 4, T])  # includes both boundaries
+
+    tt = torch.tensor(t)
+    to_last = lambda a: jnp.asarray(np.moveaxis(a, 1, -1))
+    from_last = lambda a: np.moveaxis(np.asarray(a), -1, 1)
+
+    with torch.no_grad():
+        # OneHotCategoricalBCHW stores .probs with the class axis LAST
+        # (one_hot_categorical.py:25-38) — compare channels-last directly
+        want_qm1 = ref.q_xt_given_xtm1(torch.tensor(x0), tt).probs.numpy()
+        want_q0 = ref.q_xt_given_x0(torch.tensor(x0), tt).probs.numpy()
+        want_post = ref.theta_post(torch.tensor(xt), torch.tensor(x0), tt).numpy()
+        want_pp = ref.theta_post_prob(torch.tensor(xt), torch.tensor(theta_x0), tt).numpy()
+
+    got_qm1 = np.asarray(ours.q_xt_given_xtm1_probs(to_last(x0), jnp.asarray(t)))
+    got_q0 = np.asarray(ours.q_xt_given_x0_probs(to_last(x0), jnp.asarray(t)))
+    got_post = from_last(ours.theta_post(to_last(xt), to_last(x0), jnp.asarray(t)))
+    got_pp = from_last(ours.theta_post_prob(to_last(xt), to_last(theta_x0), jnp.asarray(t)))
+
+    np.testing.assert_allclose(got_qm1, want_qm1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_q0, want_q0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_post, want_post, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_pp, want_pp, rtol=1e-5, atol=1e-6)
+
+
+def test_subset_t_values_match_reference():
+    """init_t = 10000+K encoding (diffusion_denoising.py:190-197): the K
+    visited t values must be the same rounded linspace."""
+    from jointimagegeneration_tpu.models.mask_sampler import sampling_t_values
+
+    T = 100
+    for K in (3, 7, 64, T):
+        if K == T:
+            want = list(range(K, 0, -1))
+        else:
+            want = [round(v) for v in np.linspace(T, 1, K)]
+        got = sampling_t_values(T, K).tolist()
+        assert got == want, (K, got, want)
+
+
+# ---------------------------------------------------------------------------
+# ccdm LR schedules
+# ---------------------------------------------------------------------------
+
+
+def _ref_lr(config, total, restarts):
+    return _ccdm_lr().LRFcts(dict(config), total, list(restarts))
+
+
+@pytest.mark.parametrize("case", [
+    # (name, lr_function, lr_params, restarts, restart_vals)
+    ("poly", "polynomial", {"power": 0.9, "min_lr": 2e-5}, [], 1),
+    ("warmup-poly", "linear-warmup-polynomial",
+     {"warmup_iters": 5, "warmup_rate": 0.01, "power": 1.0}, [], 1),
+    ("piecewise", "piecewise_static",
+     {"piecewise_static_schedule": [[10, 1.0], [50, 0.1]]}, [], 1),
+    ("static-restarts", "static", {}, [20], 0.5),
+    ("cosine-restarts", "cosine", {}, [20], 0.5),
+    ("poly-restarts", "polynomial", {"power": 1.0, "min_lr": 0.0}, [25], 0.3),
+])
+def test_lr_schedules_match_reference(case):
+    """Our optax schedules vs the reference LRFcts LambdaLR multipliers,
+    step by step over the whole run (lr_functions.py:64-141).  The
+    reference returns a multiplier of base lr; ours returns absolute lr."""
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.train.optim import build_lr_schedule
+
+    name, fn, params, restarts, rvals = case
+    base_lr, total = 1e-3, 50
+    config = {"learning_rate": base_lr, "lr_function": fn, "lr_params": params,
+              "lr_restart_vals": rvals, "epochs": total}
+    # reference quirk: piecewise_static is dispatched only inside the
+    # uses_restarts branch (lr_functions.py:64-81; the no-restarts branch
+    # falls through to an un-raised ValueError and returns None), and its
+    # constructor assert then demands exactly [0] as the restart list
+    ref = _ref_lr(config, total, [0] if fn == "piecewise_static" else restarts)
+    ours = build_lr_schedule(fn, base_lr, total, params,
+                             lr_restarts=restarts or None, lr_restart_vals=rvals)
+    for step in range(total):
+        want = float(ref(step)) * base_lr
+        got = float(ours(jnp.asarray(step)))
+        assert got == pytest.approx(want, rel=1e-5, abs=1e-12), (name, step, got, want)
+
+
+# ---------------------------------------------------------------------------
+# LDM schedule / DDIM utilities
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("schedule", ["linear", "cosine", "sqrt_linear", "sqrt"])
+def test_gaussian_beta_schedules_match_reference(schedule):
+    from jointimagegeneration_tpu.ops.schedules import gaussian_beta_schedule
+
+    util = _ldm_util()
+    for kw in ({}, {"linear_start": 2e-4, "linear_end": 3e-2}):
+        want = util.make_beta_schedule(schedule, 20, **kw)
+        want = want.numpy() if hasattr(want, "numpy") else np.asarray(want)
+        got = gaussian_beta_schedule(schedule, 20, **kw)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_ddim_subset_and_sigmas_match_reference():
+    from jointimagegeneration_tpu.ops.schedules import (
+        ddim_sampling_parameters,
+        ddim_timestep_subset,
+    )
+
+    util = _ldm_util()
+    T, K = 20, 5
+    betas = util.make_beta_schedule("linear", T)
+    alphacums = np.cumprod(1.0 - np.asarray(betas))
+    for method in ("uniform", "quad"):
+        want_steps = util.make_ddim_timesteps(method, K, T, verbose=False)
+        got_steps = ddim_timestep_subset(method, K, T)
+        np.testing.assert_array_equal(got_steps, want_steps)
+        for eta in (0.0, 1.0):
+            w_sig, w_a, w_ap = util.make_ddim_sampling_parameters(
+                alphacums, want_steps, eta, verbose=False)
+            g_sig, g_a, g_ap = ddim_sampling_parameters(alphacums, got_steps, eta)
+            np.testing.assert_allclose(g_sig, np.asarray(w_sig), rtol=1e-6, atol=1e-12)
+            np.testing.assert_allclose(g_a, np.asarray(w_a), rtol=1e-6)
+            np.testing.assert_allclose(g_ap, np.asarray(w_ap), rtol=1e-6)
+
+
+@pytest.mark.parametrize("dim", [8, 9])
+def test_timestep_embedding_matches_both_references(dim):
+    """Ours vs BOTH reference copies (ccdm unet_openai/nn.py:103-121 and
+    ldm util.py:151-170) — same [cos|sin] order, odd-dim zero pad."""
+    from jointimagegeneration_tpu.nn.blocks import timestep_embedding
+
+    t = torch.tensor([0.0, 1.0, 3.5, 999.0])
+    want_ccdm = _ccdm_unet().unet.timestep_embedding(t, dim).numpy()
+    want_ldm = _ldm_util().timestep_embedding(t, dim).numpy()
+    got = np.asarray(timestep_embedding(np.asarray(t.numpy()), dim))
+    np.testing.assert_allclose(got, want_ccdm, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want_ldm, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# the full reference UNet, through our checkpoint converter
+# ---------------------------------------------------------------------------
+
+# the reference's `normalization` is a strict GroupNorm(32, ch) — channel
+# counts must be multiples of 32, so the tiny oracle UNet uses base 32
+MC, HEAD_CH, C_CLASSES = 32, 16, 5
+
+
+def _ref_unet_forward(dims, spatial):
+    """Instantiate the reference's ACTUAL UNetModel (tiny config), randomise
+    its weights (the final conv is zero_module'd — a fresh model outputs the
+    uniform distribution, which would hide conversion bugs), and return
+    (state_dict, forward(x, cond, t) -> softmax probs)."""
+    u = _ccdm_unet()
+    model = u.UNetModel(
+        in_channels=C_CLASSES + 1,
+        model_channels=MC,
+        out_channels=C_CLASSES,
+        num_res_blocks=1,
+        cond_encoded_shape=None,
+        attention_resolutions=(2,),
+        channel_mult=(1, 2),
+        dims=dims,
+        num_head_channels=HEAD_CH,
+        softmax_output=True,
+    )
+    rs = np.random.RandomState(7)
+    sd = {k: torch.tensor(rs.standard_normal(tuple(v.shape)).astype(np.float32) * 0.2)
+          for k, v in model.state_dict().items()}
+    model.load_state_dict(sd)
+    model.eval()
+
+    def fwd(x_last, cond_last, t):
+        xt = torch.tensor(np.moveaxis(x_last, -1, 1))
+        ct = torch.tensor(np.moveaxis(cond_last, -1, 1))
+        with torch.no_grad():
+            out = model(xt, ct, None, torch.tensor(t))
+        return np.moveaxis(out["diffusion_out"].numpy(), 1, -1)
+
+    return sd, fwd
+
+
+@pytest.mark.parametrize("dims,spatial", [(2, (8, 8)), (3, (2, 8, 8))])
+def test_reference_unet_forward_matches_converted(dims, spatial):
+    """End-to-end oracle: the reference's own UNetModel forward (softmax
+    head, legacy attention, cond concat) vs our UNet running its converted
+    state_dict.  Also proves the converter against the reference's REAL
+    parameter names (the golden tests build the name list by hand)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.nn.unet import UNet
+    from jointimagegeneration_tpu.utils.torch_convert import convert_guided_diffusion_unet
+
+    sd, ref_fwd = _ref_unet_forward(dims, spatial)
+    params = convert_guided_diffusion_unet(
+        sd, model_channels=MC, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(2,), num_head_channels=HEAD_CH,
+    )
+    net = UNet(model_channels=MC, out_channels=C_CLASSES, num_res_blocks=1,
+               attention_resolutions=(2,), channel_mult=(1, 2), dims=dims,
+               num_head_channels=HEAD_CH)
+
+    rs = np.random.RandomState(1)
+    x = _rand_probs(rs, (2, C_CLASSES) + spatial)
+    x = np.moveaxis(x, 1, -1).astype(np.float32)
+    cond = rs.randn(2, *spatial, 1).astype(np.float32)
+    t = np.array([7.0, 3.0], np.float32)
+
+    want = ref_fwd(x, cond, t)
+    logits = net.apply({"params": jax.tree.map(jnp.asarray, params)},
+                       jnp.concatenate([jnp.asarray(x), jnp.asarray(cond)], -1),
+                       jnp.asarray(t))
+    got = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
