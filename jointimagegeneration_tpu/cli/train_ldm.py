@@ -97,7 +97,14 @@ def main(argv=None):
         sharding=NamedSharding(mesh, P("data")), num_workers=cfg.get("num_workers", 2),
     )
     total_steps = cfg.get("max_steps", 100_000)
-    tx = build_optimizer("AdamW", lr, total_steps=total_steps, accumulate_steps=accumulate)
+    # optional LR schedule (the reference's scheduler_config LambdaLR,
+    # ddpm.py:93-95,356-360): model.scheduler: {type: warmup-linear|
+    # warmup-cosine|warmup-cosine2, params: {...}} — f multiplies base lr
+    sched_cfg = model_cfg.get("scheduler") or {}
+    tx = build_optimizer(
+        "AdamW", lr, lr_function=sched_cfg.get("type"),
+        lr_params=sched_cfg.get("params"),
+        total_steps=total_steps, accumulate_steps=accumulate)
     # learned per-timestep logvar joins the optimizer from config
     # (ddpm.py:111-115, 423: learn_logvar + logvar_init)
     params = model.init_params(

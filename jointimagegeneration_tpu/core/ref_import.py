@@ -291,6 +291,23 @@ def _import_ldm(cfg):
         if k in p:
             model[k] = p[k]
 
+    sc = p.get("scheduler_config")
+    if isinstance(sc, dict):
+        # ldm.lr_scheduler classes -> train/optim.py lr_function names
+        tgt = str(sc.get("target", ""))
+        sp = dict(sc.get("params") or {})
+        kind = ("warmup-linear" if "LambdaLinearScheduler" in tgt else
+                "warmup-cosine2" if "CosineScheduler2" in tgt else
+                "warmup-cosine" if "CosineScheduler" in tgt else None)
+        if kind is None:
+            warn(f"scheduler_config.target {tgt!r} has no mapping "
+                 "(known: LambdaWarmUpCosineScheduler[2], LambdaLinearScheduler)")
+        else:
+            model["scheduler"] = {"type": kind, "params": {
+                k: sp[k] for k in ("warm_up_steps", "f_min", "f_max", "f_start",
+                                   "cycle_lengths", "lr_min", "lr_max", "lr_start",
+                                   "max_decay_steps") if k in sp}}
+
     fs = p.get("first_stage_config")
     if isinstance(fs, dict) and not _is_sentinel(fs.get("target", "")):
         model["first_stage"] = _ae_section(fs, warn, what="model.first_stage")

@@ -5,9 +5,11 @@ Unifies the two reference generations into optax:
     exponential / polynomial(power, min_lr) / cosine / linear-warmup-
     polynomial, with restart machinery (ccdm/ddpm/optimizer.py:9-61,
     lr_functions.py:5-139);
-  * LDM: warmup-cosine / warmup-linear LambdaLR schedules
-    (ldm/lr_scheduler.py:4-98) and the accum*ngpu*bs*base_lr scaling rule
-    (main.py:772-776), which callers apply to `learning_rate` directly.
+  * LDM: warmup-cosine (single cycle), warmup-cosine2 and warmup-linear
+    (repeated cycles with per-cycle warmup/f_min/f_max/f_start) LambdaLR
+    schedules (ldm/lr_scheduler.py:4-98) and the accum*ngpu*bs*base_lr
+    scaling rule (main.py:772-776), which callers apply to `learning_rate`
+    directly.
 
 All schedules are pure step->multiplier functions (jit-traceable) applied
 via optax.scale_by_schedule composition.
@@ -157,13 +159,65 @@ def build_lr_schedule(
         lr_min = p.get("lr_min", 0.0)
         lr_max = p.get("lr_max", base_lr)
         lr_start = p.get("lr_start", 0.0)
+        decay_steps = p.get("max_decay_steps", total_steps)
 
         def sched(step):
             s = step.astype(jnp.float32)
             warm = lr_start + s / max(warm_up_steps, 1) * (lr_max - lr_start)
-            t = jnp.minimum((s - warm_up_steps) / max(total_steps - warm_up_steps, 1), 1.0)
+            t = jnp.minimum((s - warm_up_steps) / max(decay_steps - warm_up_steps, 1), 1.0)
             cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(t * jnp.pi))
             return jnp.where(s < warm_up_steps, warm, cos)
+
+        return sched
+
+    if lr_function in ("warmup-cosine2", "warmup-linear"):
+        # LDM LambdaWarmUpCosineScheduler2 / LambdaLinearScheduler
+        # (lr_scheduler.py:36-98): repeated warmup cycles, each with its own
+        # warmup length, f_start/f_max/f_min and duration (`cycle_lengths`);
+        # f is a multiplier on base_lr (torch LambdaLR semantics, "use with
+        # a base_lr of 1.0").  A step landing exactly on a cycle's
+        # cumulative end belongs to that cycle (find_in_interval's `n <= cl`).
+        import numpy as np
+
+        def _as_list(key, default):
+            v = p.get(key, default)
+            return [float(x) for x in (v if isinstance(v, (list, tuple)) else [v])]
+
+        cycle_lengths = _as_list("cycle_lengths", [total_steps])
+        ncyc = len(cycle_lengths)
+
+        def _per_cycle(key, default):
+            v = _as_list(key, default)
+            if len(v) == 1:
+                v = v * ncyc
+            if len(v) != ncyc:
+                raise ValueError(f"lr_params[{key!r}] needs one entry per cycle ({ncyc})")
+            return jnp.asarray(v, jnp.float32)
+
+        warm = _per_cycle("warm_up_steps", [0.0])
+        f_min = _per_cycle("f_min", [0.0])
+        f_max = _per_cycle("f_max", [1.0])
+        f_start = _per_cycle("f_start", [0.0])
+        cum = np.cumsum([0.0] + list(cycle_lengths))
+        starts = jnp.asarray(cum[:-1], jnp.float32)
+        uppers = jnp.asarray(cum[1:], jnp.float32)
+        lens = jnp.asarray(cycle_lengths, jnp.float32)
+        cosine = lr_function == "warmup-cosine2"
+
+        def sched(step):
+            s = step.astype(jnp.float32)
+            c = jnp.clip(jnp.searchsorted(uppers, s, side="left"), 0, ncyc - 1)
+            n = s - starts[c]
+            w = warm[c]
+            warm_f = f_start[c] + (f_max[c] - f_start[c]) / jnp.maximum(w, 1.0) * n
+            if cosine:
+                t = jnp.minimum((n - w) / jnp.maximum(lens[c] - w, 1.0), 1.0)
+                decay_f = f_min[c] + 0.5 * (f_max[c] - f_min[c]) * (1.0 + jnp.cos(t * jnp.pi))
+            else:
+                # past the final cycle the linear ramp is clamped at f_min
+                # (the reference would crash there instead)
+                decay_f = f_min[c] + (f_max[c] - f_min[c]) * jnp.maximum((lens[c] - n) / lens[c], 0.0)
+            return base_lr * jnp.where(n < w, warm_f, decay_f)
 
         return sched
 

@@ -151,6 +151,40 @@ def test_ldm_pixel_import():
     assert out["accumulate_grad_batches"] == 1
 
 
+def test_ldm_scheduler_config_maps_to_lr_function():
+    """ddpm.py scheduler_config (LambdaLR via configure_optimizers,
+    :93-95,356-360) -> model.scheduler {type, params} consumed by
+    cli/train_ldm.py through build_optimizer."""
+    cfg = _ldm_yaml(ae=False)
+    cfg["model"]["params"]["scheduler_config"] = {
+        "target": "ldm.lr_scheduler.LambdaLinearScheduler",
+        "params": {"warm_up_steps": [10000], "cycle_lengths": [10000000000000],
+                   "f_start": [1e-6], "f_max": [1.0], "f_min": [1.0]}}
+    out, warns = import_reference_config(cfg)
+    sched = out["model"]["scheduler"]
+    assert sched["type"] == "warmup-linear"
+    assert sched["params"]["warm_up_steps"] == [10000]
+
+    # unknown target warns instead of mapping
+    cfg["model"]["params"]["scheduler_config"]["target"] = "my.custom.Sched"
+    out, warns = import_reference_config(cfg)
+    assert "scheduler" not in out["model"]
+    assert any("no mapping" in w for w in warns)
+
+    # the mapped params build a working optax schedule end to end
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.train.optim import build_lr_schedule
+
+    f = build_lr_schedule(sched["type"], 2e-6,
+                          20000, {"warm_up_steps": [10000],
+                                  "cycle_lengths": [10000000000000],
+                                  "f_start": [1e-6], "f_max": [1.0], "f_min": [1.0]})
+    assert float(f(jnp.asarray(0))) == pytest.approx(2e-6 * 1e-6)
+    assert float(f(jnp.asarray(5000))) == pytest.approx(2e-6 * 0.5, rel=1e-3)
+    assert float(f(jnp.asarray(10000))) == pytest.approx(2e-6, rel=1e-4)
+
+
 def test_ldm_ae_import_routes_latent():
     out, warns = import_reference_config(_ldm_yaml(ae=True))
     m = out["model"]

@@ -367,3 +367,165 @@ def test_reference_unet_forward_matches_converted(dims, spatial):
                        jnp.asarray(t))
     got = np.asarray(jax.nn.softmax(logits, axis=-1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LDM LR schedulers (lr_scheduler.py), LitEma, and the DDIM sampler class
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _ldm_lr():
+    return _load_file("_ref_ldm_lr", REF / "latentdiffusion" / "ldm" / "lr_scheduler.py")
+
+
+def test_ldm_warmup_cosine_matches_reference():
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.train.optim import build_lr_schedule
+
+    m = _ldm_lr()
+    ref = m.LambdaWarmUpCosineScheduler(
+        warm_up_steps=100, lr_min=0.01, lr_max=1.0, lr_start=0.1, max_decay_steps=1000)
+    ours = build_lr_schedule(
+        "warmup-cosine", 1.0, 1000,
+        {"warm_up_steps": 100, "lr_min": 0.01, "lr_max": 1.0, "lr_start": 0.1})
+    for n in [0, 1, 50, 99, 100, 101, 500, 999, 1000, 1499]:
+        got = float(ours(jnp.asarray(n)))
+        assert got == pytest.approx(ref(n), rel=1e-5, abs=1e-8), n
+
+
+@pytest.mark.parametrize("kind", ["warmup-cosine2", "warmup-linear"])
+def test_ldm_cyclic_schedulers_match_reference(kind):
+    """Our jit-traceable cyclic schedules vs the reference's
+    LambdaWarmUpCosineScheduler2 / LambdaLinearScheduler (lr_scheduler.py:
+    36-98), every step of a two-cycle run including both boundaries."""
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.train.optim import build_lr_schedule
+
+    m = _ldm_lr()
+    kw = dict(warm_up_steps=[10, 5], f_min=[0.1, 0.05], f_max=[1.0, 0.5],
+              f_start=[0.0, 0.2], cycle_lengths=[100, 200])
+    cls = m.LambdaWarmUpCosineScheduler2 if kind == "warmup-cosine2" else m.LambdaLinearScheduler
+    ref = cls(**kw)
+    base_lr = 2.5
+    ours = build_lr_schedule(kind, base_lr, 300, dict(kw))
+    for n in range(0, 301):
+        want = ref(n) * base_lr
+        got = float(ours(jnp.asarray(n)))
+        assert got == pytest.approx(want, rel=1e-5, abs=1e-8), (kind, n, got, want)
+
+
+@lru_cache(maxsize=None)
+def _ldm_ema():
+    return _load_file("_ref_ldm_ema", REF / "latentdiffusion" / "ldm" / "modules" / "ema.py")
+
+
+def test_litema_trajectory_matches_train_state():
+    """Our EMATrainState warmup EMA vs the reference's LitEma driven over
+    the same parameter trajectory (ema.py:25-42): per-step decay
+    min(d, (1+n)/(10+n)) with n counting updates, shadow -= (1-d)(shadow-p)."""
+    import jax.numpy as jnp
+    import optax
+
+    from jointimagegeneration_tpu.train.state import EMATrainState
+
+    ema_mod = _ldm_ema()
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = torch.nn.Parameter(torch.zeros(6))
+
+    rs = np.random.RandomState(3)
+    p0 = rs.randn(6).astype(np.float32)
+    targets = [rs.randn(6).astype(np.float32) for _ in range(25)]
+
+    model = M()
+    with torch.no_grad():
+        model.w.copy_(torch.tensor(p0))
+    lit = ema_mod.LitEma(model, decay=0.999, use_num_upates=True)
+
+    state = EMATrainState.create(
+        params={"w": jnp.asarray(p0)}, tx=optax.sgd(1.0),
+        ema_decay=0.999, ema_warmup=True, skip_nonfinite=False)
+
+    for tgt in targets:
+        with torch.no_grad():
+            model.w.copy_(torch.tensor(tgt))
+        lit(model)
+        # sgd(1.0) with grad = params - target teleports params to target,
+        # so both EMAs see the identical parameter trajectory
+        grads = {"w": state.params["w"] - jnp.asarray(tgt)}
+        state = state.apply_gradients(grads)
+        want = dict(lit.named_buffers())["w"].numpy()
+        np.testing.assert_allclose(np.asarray(state.ema_params["w"]), want,
+                                   rtol=1e-5, atol=1e-7)
+
+
+@lru_cache(maxsize=None)
+def _ldm_ddim():
+    util = _ldm_util()
+    for name in ("ldm", "ldm.modules", "ldm.modules.diffusionmodules"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["ldm.modules.diffusionmodules.util"] = util
+    return _load_file(
+        "_ref_ldm_ddim",
+        REF / "latentdiffusion" / "ldm" / "models" / "diffusion" / "ddim.py")
+
+
+def test_ddim_sampler_class_step_matches_reference():
+    """The reference's DDIMSampler.p_sample_ddim (ddim.py:166-205) — through
+    the actual sampler CLASS with make_schedule-registered buffers, not just
+    the util functions — vs our DDIMParams + ddim_step, at every subset
+    index, eta=0.7, deterministic eps net, temperature=0."""
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams, ddim_step
+    from jointimagegeneration_tpu.diffusion.gaussian import GaussianDiffusion
+
+    ddim_mod = _ldm_ddim()
+    T, S, eta = 40, 8, 0.7
+    gd = GaussianDiffusion.create("linear", timesteps=T)
+
+    def eps_torch(x):
+        return torch.sin(x * 1.7) * 0.5
+
+    class CPUDDIM(ddim_mod.DDIMSampler):
+        def register_buffer(self, name, attr):  # keep buffers on CPU
+            setattr(self, name, attr)
+
+    fake = types.SimpleNamespace(
+        num_timesteps=T,
+        device=torch.device("cpu"),
+        betas=torch.tensor(np.asarray(gd.betas)),
+        alphas_cumprod=torch.tensor(np.asarray(gd.alphas_cumprod)),
+        alphas_cumprod_prev=torch.tensor(np.asarray(gd.alphas_cumprod_prev)),
+        apply_model=lambda x, t, c: eps_torch(x),
+    )
+    sampler = CPUDDIM(fake)
+    sampler.make_schedule(ddim_num_steps=S, ddim_eta=eta, verbose=False)
+
+    ours = DDIMParams.create(gd, S, method="uniform", eta=eta)
+    np.testing.assert_allclose(np.asarray(ours.sigmas),
+                               np.asarray(sampler.ddim_sigmas), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours.alphas),
+                               np.asarray(sampler.ddim_alphas), rtol=1e-6)
+
+    rs = np.random.RandomState(11)
+    x_np = rs.randn(2, 3, 8, 8).astype(np.float32)
+    key = __import__("jax").random.key(0)
+    for index in range(S):
+        t = torch.full((2,), int(sampler.ddim_timesteps[index]), dtype=torch.long)
+        with torch.no_grad():
+            want_prev, want_x0 = sampler.p_sample_ddim(
+                torch.tensor(x_np), None, t, 2, index, temperature=0.0)
+        x_ours = jnp.moveaxis(jnp.asarray(x_np), 1, -1)
+        e_t = jnp.sin(x_ours * 1.7) * 0.5
+        got_prev, got_x0 = ddim_step(ours, key, x_ours, e_t,
+                                     jnp.asarray(index), temperature=0.0)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got_prev), -1, 1),
+                                   want_prev.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got_x0), -1, 1),
+                                   want_x0.numpy(), rtol=1e-4, atol=1e-5)
