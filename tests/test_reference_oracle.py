@@ -529,3 +529,64 @@ def test_ddim_sampler_class_step_matches_reference():
                                    want_prev.numpy(), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.moveaxis(np.asarray(got_x0), -1, 1),
                                    want_x0.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@lru_cache(maxsize=None)
+def _ldm_plms():
+    util = _ldm_util()
+    for name in ("ldm", "ldm.modules", "ldm.modules.diffusionmodules"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["ldm.modules.diffusionmodules.util"] = util
+    return _load_file(
+        "_ref_ldm_plms",
+        REF / "latentdiffusion" / "ldm" / "models" / "diffusion" / "plms.py")
+
+
+def test_plms_full_chain_matches_reference():
+    """The reference's whole PLMSSampler.plms_sampling loop (plms.py:115-236:
+    Heun first step, Adams-Bashforth order ramp 2-3-4, rolling old_eps
+    window) vs our scan-compiled plms_sample_loop, same deterministic
+    (x, t)-dependent eps net, step count past the order ramp."""
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+    from jointimagegeneration_tpu.diffusion.gaussian import GaussianDiffusion
+    from jointimagegeneration_tpu.diffusion.plms import plms_sample_loop
+
+    plms_mod = _ldm_plms()
+    T, S = 40, 8
+    gd = GaussianDiffusion.create("linear", timesteps=T)
+
+    def eps_torch(x, t):
+        tb = t.view(-1, 1, 1, 1).to(torch.float32)
+        return torch.sin(x * 1.7) * 0.5 + torch.cos(tb * 0.1) * 0.1
+
+    class CPUPLMS(plms_mod.PLMSSampler):
+        def register_buffer(self, name, attr):
+            setattr(self, name, attr)
+
+    fake = types.SimpleNamespace(
+        num_timesteps=T,
+        device=torch.device("cpu"),
+        betas=torch.tensor(np.asarray(gd.betas)),
+        alphas_cumprod=torch.tensor(np.asarray(gd.alphas_cumprod)),
+        alphas_cumprod_prev=torch.tensor(np.asarray(gd.alphas_cumprod_prev)),
+        apply_model=lambda x, t, c: eps_torch(x, t),
+    )
+    sampler = CPUPLMS(fake)
+    sampler.make_schedule(ddim_num_steps=S, ddim_eta=0.0, verbose=False)
+
+    rs = np.random.RandomState(5)
+    x_T = rs.randn(2, 3, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want, _ = sampler.plms_sampling(None, x_T.shape, x_T=torch.tensor(x_T))
+
+    ours = DDIMParams.create(gd, S, method="uniform", eta=0.0)
+
+    def eps_jax(x, t):
+        tb = t.reshape(-1, 1, 1, 1).astype(jnp.float32)
+        return jnp.sin(x * 1.7) * 0.5 + jnp.cos(tb * 0.1) * 0.1
+
+    got = plms_sample_loop(eps_jax, ours, jnp.moveaxis(jnp.asarray(x_T), 1, -1))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1),
+                               want.numpy(), rtol=1e-4, atol=1e-4)
