@@ -7,13 +7,25 @@ mult [1,2,2,4,5], attn at ds {32,16,8} (ccdm/params.yml:69-76).  One
 denoise step = UNet forward + closed-form categorical posterior +
 categorical draw.
 
-Additional metrics (BASELINE.md milestones, VERDICT round-1 item #9):
-  * stage-1 train steps/sec (full-size fwd+bwd+Adam+EMA, no remat, batch 1)
-  * stage-2 DDIM denoise steps/sec at 512^2 (UNet base 128, mult
-    [1,2,4,4,5], concat-cond — ruijin-ldm_from_controlnet.yaml:24-40)
-  * end-to-end two-stage latency: 25-step mask sample at 64x128x128 +
-    autoregressive 16-slice 256^2 CT at 50 DDIM steps, plus the linear
-    extrapolation to the 128-slice north-star volume.
+Leg ordering (round-4): the legs run most-important-first under a
+wall-clock budget (env BENCH_BUDGET_S, default 1500 s) so a cold
+compile cache can never time the process out before the headline
+numbers are emitted (round-3 post-mortem: rc=124 with train legs
+ordered early lost every e2e/serving line):
+
+  1. stage-1 denoise chain (primary)
+  2. e2e two-stage legs: 16/32-slice measurements -> 128-slice affine
+     fit; dpm-20 and dpm-20+warm-start fast routes; budget permitting a
+     DIRECT 128-slice run (the north-star measured, not extrapolated)
+  3. batch-8 serving throughput (measured batching sweet spot)
+  4. stage-2 DDIM chain at 512^2
+  5. train-step legs (slowest compiles; skipped first under pressure)
+
+A leg whose estimated cost exceeds the remaining budget emits a
+{"metric": ..., "skipped": "budget"} line instead of silently vanishing.
+The FINAL line is always the 128-slice north-star (measured if the
+direct leg ran, else the two-point affine fit) because the driver
+records the last JSON line as the round's parsed headline.
 
 Measured the production way: each chain is ONE `lax.scan`-compiled
 program (exactly how the samplers run), so per-step Python dispatch —
@@ -25,8 +37,7 @@ a warmup fetch).
 
 The reference publishes no numbers (BASELINE.md) so vs_baseline is null;
 the north-star target (<60 s full volume on v5e-8) is tracked by the
-extrapolated e2e line.  Set BENCH_METRICS=primary to emit only the first
-metric.
+final e2e line.  Set BENCH_METRICS=primary to emit only the first metric.
 """
 
 import json
@@ -45,10 +56,33 @@ if jax.default_backend() != "cpu":
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.monotonic() - _T0)
+
 
 def emit(metric, value, unit):
     print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit,
                       "vs_baseline": None}), flush=True)
+
+
+def leg(name, est_cold_s, fn):
+    """Run one bench leg if the remaining wall-clock budget can plausibly
+    absorb a cold-cache compile (est_cold_s); otherwise say so and move on.
+    Failures never kill the process — later legs still run."""
+    if _remaining() < est_cold_s:
+        print(json.dumps({"metric": name, "skipped": "budget",
+                          "est_cold_s": est_cold_s,
+                          "remaining_s": round(_remaining(), 1)}), flush=True)
+        return None
+    try:
+        return fn()
+    except Exception as e:
+        print(json.dumps({"metric": name, "error": str(e)[:200]}), flush=True)
+        return None
 
 
 def time_chain(fn, *args, iters=3):
@@ -112,7 +146,6 @@ def bench_stage1_denoise():
          chain_steps * n_iters / dt, "steps/s")
     emit_mfu("stage1_denoise", run_chain, (params, jax.random.key(1)),
              dt / (chain_steps * n_iters))
-    return model, params, spatial
 
 
 def bench_stage1_train():
@@ -154,49 +187,39 @@ def bench_stage1_train():
     emit_mfu("stage1_train", jstep, (state, batch, jax.random.key(9)), dt)
 
 
-def bench_stage2_train():
-    """Stage-2 train step at the reference train size (512², batch 1 —
-    ruijin-ldm_from_controlnet.yaml:12,73) plus the batched-256² leg: the
-    round-3 ladder (BENCH_NOTES) found per-sample cost is non-monotonic
-    in batch — b=2/4 lose 25%, b=8 WINS 2.35x (fills the 8-sublane tile
-    dim) — so the b=8 samples/s line is the recommended training
-    configuration at 256²-class shapes."""
+def _stage2_train_leg(size, batch, name, rate_metric, rate_unit, rate_fn):
+    """Stage-2 train step legs (reference train size 512² b=1 —
+    ruijin-ldm_from_controlnet.yaml:12,73 — plus the batched-256² leg:
+    the round-3 ladder found b=8 WINS 2.35x per sample at 256²)."""
     from jointimagegeneration_tpu.models import SliceLDM
     from jointimagegeneration_tpu.train import EMATrainState, build_optimizer, make_ldm_train_step
 
-    def run(size, batch, name, rate_metric, rate_unit, rate_fn):
-        model = SliceLDM.create(
-            image_channels=1, cond_channels=2, timesteps=1000,
-            model_channels=128, channel_mult=(1, 2, 4, 4, 5),
-            attention_resolutions=(32, 16, 8), num_res_blocks=2,
-            num_head_channels=32, dtype=jnp.bfloat16,
-        )
-        params = model.init_params(jax.random.key(1), size)
-        state = EMATrainState.create(params, build_optimizer("AdamW", 1e-4))
-        jstep = jax.jit(make_ldm_train_step(model), donate_argnums=(0,))
-        batch_d = {
-            "image": jnp.zeros((batch, size, size, 1)),
-            "cond": jnp.zeros((batch, size, size, 2)),
-        }
-        state, m = jstep(state, batch_d, jax.random.key(1))
-        _ = float(m["loss"])
-        n = 3
-        t0 = time.perf_counter()
-        for i in range(n):
-            state, m = jstep(state, batch_d, jax.random.key(2 + i))
-        _ = float(m["loss"])
-        dt = (time.perf_counter() - t0) / n
-        emit(rate_metric, rate_fn(dt), rate_unit)
-        # MFU from cost analysis of the exact compiled step.  Emitted inside
-        # run() so the big train state stays local and is freed before the
-        # next leg allocates its own (keeping both resident can OOM the b=8
-        # leg on a 16 GB chip).
-        emit_mfu(name, jstep, (state, batch_d, jax.random.key(9)), dt)
-
-    run(512, 1, "stage2_train", "stage2_train_steps_per_sec_512x512",
-        "steps/s", lambda dt: 1.0 / dt)
-    run(256, 8, "stage2_train_batch8", "stage2_train_samples_per_sec_256x256_batch8",
-        "samples/s", lambda dt: 8.0 / dt)
+    model = SliceLDM.create(
+        image_channels=1, cond_channels=2, timesteps=1000,
+        model_channels=128, channel_mult=(1, 2, 4, 4, 5),
+        attention_resolutions=(32, 16, 8), num_res_blocks=2,
+        num_head_channels=32, dtype=jnp.bfloat16,
+    )
+    params = model.init_params(jax.random.key(1), size)
+    state = EMATrainState.create(params, build_optimizer("AdamW", 1e-4))
+    jstep = jax.jit(make_ldm_train_step(model), donate_argnums=(0,))
+    batch_d = {
+        "image": jnp.zeros((batch, size, size, 1)),
+        "cond": jnp.zeros((batch, size, size, 2)),
+    }
+    state, m = jstep(state, batch_d, jax.random.key(1))
+    _ = float(m["loss"])
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = jstep(state, batch_d, jax.random.key(2 + i))
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    emit(rate_metric, rate_fn(dt), rate_unit)
+    # MFU from cost analysis of the exact compiled step.  The big train
+    # state stays local to this function and is freed before the next leg
+    # allocates its own (keeping both resident can OOM the b=8 leg).
+    emit_mfu(name, jstep, (state, batch_d, jax.random.key(9)), dt)
 
 
 def _stage2(size, ddim_steps):
@@ -255,112 +278,146 @@ def bench_serving_batch8():
          128 * steps / agg, "s/volume")
 
 
-def bench_e2e():
-    """25-step mask at 64x128x128 -> nearest-upsample -> 16 slices of 256^2
-    at 50 DDIM steps (one scan program), extrapolated to the 128-slice
-    north-star volume (BASELINE.md: <60 s on v5e-8; this is single-chip)."""
-    from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
-    from jointimagegeneration_tpu.models import MaskSampler
-    from jointimagegeneration_tpu.pipeline import TwoStagePipeline
+class _E2E:
+    """Shared state for the end-to-end two-stage legs: 25-step mask at
+    64x128x128 -> nearest-upsample -> z-slice autoregressive 256^2 CT at
+    50 DDIM steps, one scan program per z-count (SURVEY §3.4 loop;
+    BASELINE.md north star <60 s for the 128-slice volume on v5e-8)."""
 
-    spatial = (64, 128, 128)
-    n_slices, size, ddim_steps = 16, 256, 50
-    ms = MaskSampler.create(
-        num_classes=12, time_steps=1000, model_channels=64,
-        channel_mult=(1, 2, 2, 4, 5), attention_resolutions=(32, 16, 8),
-        num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16,
-    )
-    ms_params = ms.init_params(jax.random.key(0), spatial, cond_channels=1)
-    ldm, ldm_params, ddim = _stage2(size, ddim_steps)
-    pipe = TwoStagePipeline(ms, ldm)
+    def __init__(self):
+        from jointimagegeneration_tpu.models import MaskSampler
+        from jointimagegeneration_tpu.pipeline import TwoStagePipeline
 
-    def make_run(nz):
+        self.spatial = (64, 128, 128)
+        self.size, self.ddim_steps = 256, 50
+        ms = MaskSampler.create(
+            num_classes=12, time_steps=1000, model_channels=64,
+            channel_mult=(1, 2, 2, 4, 5), attention_resolutions=(32, 16, 8),
+            num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16,
+        )
+        self.ms = ms
+        self.ms_params = ms.init_params(jax.random.key(0), self.spatial, cond_channels=1)
+        self.ldm, self.ldm_params, self.ddim = _stage2(self.size, self.ddim_steps)
+        self.pipe = TwoStagePipeline(ms, self.ldm)
+        self.extrapolated_128 = None
+        self.direct_128 = None
+
+    def make_run(self, nz, ddim=None, **kw):
+        ddim = self.ddim if ddim is None else ddim
+        cond = jnp.zeros((1, *self.spatial, 1), jnp.bfloat16)
+
         @jax.jit
         def run(ms_params, ldm_params, key):
-            ct, labels = pipe(
+            ct, labels = self.pipe(
                 ms_params, ldm_params, key,
-                mask_shape=(1, *spatial), volume_shape=(nz, size, size),
-                ddim=ddim, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
+                mask_shape=(1, *self.spatial), volume_shape=(nz, self.size, self.size),
+                ddim=ddim, mask_steps=25, cond=cond, **kw,
             )
             return jnp.sum(ct) + jnp.sum(labels)
 
         return run
 
-    dt = time_chain(make_run(n_slices), (ms_params, ldm_params, jax.random.key(3)), iters=1)
-    emit(f"e2e_two_stage_{n_slices}x{size}x{size}_seconds", dt, "s")
-    # mask time is shared; only the per-slice DDIM chain scales in z
-    # (sample_diffusion drives n_slices x 50 UNet forwards, SURVEY.md §3.4).
-    # A second measured point at 2x slices separates the shared base from
-    # the per-slice rate, so the 128-slice figure is an affine fit of two
-    # MEASUREMENTS rather than naive x8 scaling (which wrongly multiplies
-    # the mask-sampler time too).
-    dt32 = time_chain(make_run(2 * n_slices), (ms_params, ldm_params, jax.random.key(4)), iters=1)
-    emit(f"e2e_two_stage_{2 * n_slices}x{size}x{size}_seconds", dt32, "s")
-    if dt32 > dt:
-        rate = (dt32 - dt) / n_slices
-        base = dt - n_slices * rate
-        e2e_128 = base + 128 * rate
-    else:  # timing noise collapsed the two points — fall back to linear
-        e2e_128 = dt * (128 / n_slices)
+    def args(self, seed):
+        return (self.ms_params, self.ldm_params, jax.random.key(seed))
 
-    # beyond-reference routes, each fenced so a failure here cannot suppress
-    # the headline line below (the driver parses the FINAL json line):
-    # DPM-Solver++(2M) on uniform-log-SNR nodes at 20 steps — reference
-    # per-slice semantics kept (pure noise per slice), ~2.4x fewer UNet
-    # calls per slice; accuracy vs the converged ODE solution is BETTER
-    # than ddim-50/uniform (BENCH_NOTES round 3)
-    try:
-        dpm = DDIMParams.create(ldm.diffusion, 20, method="uniform_lambda")
+    def leg_fit(self):
+        """16- and 32-slice measured points -> affine fit of the 128-slice
+        figure (mask time is shared; only the per-slice DDIM chain scales
+        in z — naive x8 scaling would wrongly multiply the mask time)."""
+        n = 16
+        dt = time_chain(self.make_run(n), self.args(3), iters=1)
+        emit(f"e2e_two_stage_{n}x{self.size}x{self.size}_seconds", dt, "s")
+        dt32 = time_chain(self.make_run(2 * n), self.args(4), iters=1)
+        emit(f"e2e_two_stage_{2 * n}x{self.size}x{self.size}_seconds", dt32, "s")
+        if dt32 > dt:
+            rate = (dt32 - dt) / n
+            base = dt - n * rate
+            self.extrapolated_128 = base + 128 * rate
+        else:  # timing noise collapsed the two points — fall back to linear
+            self.extrapolated_128 = dt * (128 / n)
 
-        @jax.jit
-        def run_dpm(ms_params, ldm_params, key):
-            ct, labels = pipe(
-                ms_params, ldm_params, key,
-                mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
-                ddim=dpm, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
-                sampler="dpm",
-            )
-            return jnp.sum(ct) + jnp.sum(labels)
+    def _dpm(self):
+        from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
+        return DDIMParams.create(self.ldm.diffusion, 20, method="uniform_lambda")
 
-        dt_dpm = time_chain(run_dpm, (ms_params, ldm_params, jax.random.key(5)), iters=1)
-        emit(f"e2e_two_stage_dpm20_{n_slices}x{size}x{size}_seconds", dt_dpm, "s")
+    def leg_dpm(self):
+        """DPM-Solver++(2M) on uniform-log-SNR nodes at 20 steps —
+        reference per-slice semantics kept (pure noise per slice), ~2.4x
+        fewer UNet calls per slice, LOWER integration error than
+        ddim-50/uniform (BENCH_NOTES round 3)."""
+        n = 16
+        dt = time_chain(self.make_run(n, ddim=self._dpm(), sampler="dpm"),
+                        self.args(5), iters=1)
+        emit(f"e2e_two_stage_dpm20_{n}x{self.size}x{self.size}_seconds", dt, "s")
 
-        # composed fast route: dpm-20 + warm_start 0.4 (solver runs only its
-        # last 8 nodes per slice, seeded from the q-noised previous slice) —
-        # measured zero composition overhead; 128-slice fit 14.8 s single chip
-        # (BENCH_NOTES round 3, scripts/probe_dpm_warm.py)
-        @jax.jit
-        def run_dpm_warm(ms_params, ldm_params, key):
-            ct, labels = pipe(
-                ms_params, ldm_params, key,
-                mask_shape=(1, *spatial), volume_shape=(n_slices, size, size),
-                ddim=dpm, mask_steps=25, cond=jnp.zeros((1, *spatial, 1), jnp.bfloat16),
-                sampler="dpm", warm_start=0.4,
-            )
-            return jnp.sum(ct) + jnp.sum(labels)
+    def leg_dpm_warm(self):
+        """Composed fast route: dpm-20 + warm_start 0.4 (solver runs only
+        its last nodes per slice, seeded from the q-noised previous
+        slice) — measured zero composition overhead; 128-slice fit 14.8 s
+        single chip (scripts/probe_dpm_warm.py)."""
+        n = 16
+        dt = time_chain(self.make_run(n, ddim=self._dpm(), sampler="dpm", warm_start=0.4),
+                        self.args(6), iters=1)
+        emit(f"e2e_two_stage_dpm20_warm04_{n}x{self.size}x{self.size}_seconds", dt, "s")
 
-        dt_warm = time_chain(run_dpm_warm, (ms_params, ldm_params, jax.random.key(6)), iters=1)
-        emit(f"e2e_two_stage_dpm20_warm04_{n_slices}x{size}x{size}_seconds", dt_warm, "s")
-    except Exception as e:
-        print(json.dumps({"metric": "e2e_dpm_legs", "error": str(e)[:200]}), flush=True)
+    def leg_direct_128(self):
+        """The north-star measured DIRECTLY: one full 128-slice 256² run
+        at ddim-50 with reference semantics (VERDICT r3 #2 — replaces the
+        extrapolation with a measurement).  Same scan program shape as the
+        16-slice leg, different trip count."""
+        dt = time_chain(self.make_run(128), self.args(7), iters=1)
+        self.direct_128 = dt
+        emit("e2e_direct_128slice_256x256_seconds", dt, "s")
 
-    # the north-star tracker line goes LAST: the driver records the final
-    # JSON line as the round's parsed headline (BENCH_r{N}.json), and the
-    # reference-semantics 128-slice figure is the comparable one
-    emit("e2e_extrapolated_128slice_256x256_seconds", e2e_128, "s")
+    def leg_direct_128_dpm(self):
+        dt = time_chain(self.make_run(128, ddim=self._dpm(), sampler="dpm"),
+                        self.args(8), iters=1)
+        emit("e2e_direct_128slice_dpm20_256x256_seconds", dt, "s")
 
 
 def main():
     which = os.environ.get("BENCH_METRICS", "all")
-    bench_stage1_denoise()
+    leg("stage1_denoise", 0, bench_stage1_denoise)  # primary: always run
     if which == "primary":
         return
-    for fn in (bench_stage1_train, bench_stage2_train, bench_stage2_ddim,
-               bench_serving_batch8, bench_e2e):
-        try:
-            fn()
-        except Exception as e:  # keep emitting the remaining metrics
-            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}), flush=True)
+
+    # --- e2e group (the BASELINE north star) ---
+    e2e = None
+    try:
+        e2e = _E2E()
+    except Exception as e:
+        print(json.dumps({"metric": "e2e_setup", "error": str(e)[:200]}), flush=True)
+    if e2e is not None:
+        leg("e2e_fit_legs", 240, e2e.leg_fit)
+        leg("e2e_dpm20", 180, e2e.leg_dpm)
+        leg("e2e_dpm20_warm04", 180, e2e.leg_dpm_warm)
+
+    # --- serving + sampler legs ---
+    leg("serving_batch8", 200, bench_serving_batch8)
+    leg("stage2_ddim", 180, bench_stage2_ddim)
+
+    # --- direct 128-slice north-star measurement (compile is cached from
+    # the fit leg's program shape family; runtime ~77 s ddim / ~35 s dpm) ---
+    if e2e is not None:
+        leg("e2e_direct_128slice", 400, e2e.leg_direct_128)
+        leg("e2e_direct_128slice_dpm20", 250, e2e.leg_direct_128_dpm)
+
+    # --- train legs last: slowest compiles, least headline-critical ---
+    leg("stage1_train", 300, bench_stage1_train)
+    leg("stage2_train", 300, lambda: _stage2_train_leg(
+        512, 1, "stage2_train", "stage2_train_steps_per_sec_512x512",
+        "steps/s", lambda dt: 1.0 / dt))
+    leg("stage2_train_batch8", 300, lambda: _stage2_train_leg(
+        256, 8, "stage2_train_batch8", "stage2_train_samples_per_sec_256x256_batch8",
+        "samples/s", lambda dt: 8.0 / dt))
+
+    # the north-star tracker goes LAST: the driver records the final JSON
+    # line as the round's parsed headline, and the reference-semantics
+    # 128-slice figure is the comparable one (measured beats extrapolated)
+    if e2e is not None and e2e.direct_128 is not None:
+        emit("e2e_128slice_256x256_seconds", e2e.direct_128, "s")
+    elif e2e is not None and e2e.extrapolated_128 is not None:
+        emit("e2e_extrapolated_128slice_256x256_seconds", e2e.extrapolated_128, "s")
 
 
 if __name__ == "__main__":
