@@ -243,6 +243,7 @@ def build_autoencoder(m: dict) -> AutoencoderKL:
             dims=dd.get("dims", 2),
             dropout=dd.get("dropout", 0.0),
             resolution=dd.get("resolution", 512),
+            attn_type=dd.get("attn_type", "linear" if dd.get("use_linear_attn") else "vanilla"),
         )
     return AutoencoderKL(
         embed_dim=m.get("embed_dim", 4),
@@ -256,6 +257,7 @@ def build_autoencoder(m: dict) -> AutoencoderKL:
         dims=dd.get("dims", 2),
         dropout=dd.get("dropout", 0.0),
         resolution=dd.get("resolution", 512),
+        attn_type=dd.get("attn_type", "linear" if dd.get("use_linear_attn") else "vanilla"),
     )
 
 

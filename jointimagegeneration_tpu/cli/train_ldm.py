@@ -188,6 +188,21 @@ def main(argv=None):
                 if row in panels:
                     logger.image(step, f"val/{row}",
                                  image_volume_to_grid(panels[row][:, 0, ..., 0]))
+            if "cond" in batch and batch["cond"].shape[-1] >= 2:
+                # mask-over-sample alpha overlay, the reference ImageLogger's
+                # qualitative artifact (combine_mask_and_im, main.py:28-67);
+                # cond channel 1 carries labels/(C-1) (datasets.py SlicePair)
+                import numpy as np
+
+                from ..data.classes import NUM_CLASSES
+                from ..eval.writers import overlay_volume_to_grid
+
+                nc = int(cfg.get("dataset", {}).get("num_classes", NUM_CLASSES))
+                labels = np.rint(np.asarray(batch["cond"][..., 1], np.float32)
+                                 * (nc - 1)).astype(np.int64)
+                samples01 = np.clip(np.asarray(panels["samples"][..., 0]), 0, 1)  # window-norm range
+                logger.image(step, "val/overlay",
+                             overlay_volume_to_grid(samples01, labels, every=1))
         # val loss on the logged batch (monitor val/loss_simple parity)
         diff = model.diffusion
         t = jnp.full((batch["image"].shape[0],), diff.num_timesteps // 2, jnp.int32)

@@ -15,7 +15,8 @@ import numpy as np
 from ..data.classes import labels_to_colors
 from ..data.nifti import write_nifti
 
-__all__ = ["save_label_volume", "save_image_volume", "save_grid_png", "labels_to_grid"]
+__all__ = ["save_label_volume", "save_image_volume", "save_grid_png", "labels_to_grid",
+           "overlay_mask_on_image", "overlay_volume_to_grid"]
 
 
 def save_label_volume(path, labels: np.ndarray, spacing=None) -> None:
@@ -66,6 +67,66 @@ def image_volume_to_grid(vol: np.ndarray, every: int = 4) -> np.ndarray:
         vol = vol[None]
     slices = [(np.stack([vol[z]] * 3, -1) * 255).astype(np.uint8) for z in range(0, vol.shape[0], every)]
     return make_grid(slices)
+
+
+def overlay_mask_on_image(image: np.ndarray, labels: np.ndarray,
+                          overlay_coef: float = 0.2,
+                          boundaries: bool = True) -> np.ndarray:
+    """Class-colored organ mask alpha-blended over the CT image — the
+    capability of the reference ImageLogger's `combine_mask_and_im`
+    (latentdiffusion/main.py:28-67), its main qualitative eval artifact.
+
+    Semantics kept: background (class 0) shows the raw image; labeled
+    voxels blend `color*coef + image*(1-coef)`; class boundaries (sobel
+    magnitude per class, lowest class id wins where boundaries touch) are
+    painted in the SOLID class color.
+
+    image: (H, W) or (D, H, W) float in [0, 1]
+    labels: same shape, integer class ids in [0, NUM_CLASSES)
+    returns uint8 RGB of shape image.shape + (3,)
+    """
+    from ..data.classes import NUM_CLASSES, class_color_map
+
+    image = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+    labels = np.clip(np.asarray(labels).astype(np.int64), 0, NUM_CLASSES - 1)
+    if image.shape != labels.shape:
+        raise ValueError(f"image {image.shape} vs labels {labels.shape}")
+    colors = class_color_map().astype(np.float32)  # (C, 3)
+    im = np.repeat((image * 255.0)[..., None], 3, axis=-1)
+    labeled = labels > 0
+    colored = np.where(labeled[..., None], colors[labels], im)
+    out = colored * overlay_coef + im * (1.0 - overlay_coef)
+    # where unlabeled, colored == im so the blend leaves the CT untouched
+    if boundaries:
+        from scipy.ndimage import sobel
+
+        axes = list(range(labels.ndim))
+        bmap = np.zeros(labels.shape, np.int64)
+        for i in range(1, NUM_CLASSES):
+            m = (labels == i).astype(np.float32)
+            if not m.any():
+                continue
+            mag = np.zeros_like(m)
+            for ax in axes:
+                mag += np.abs(sobel(m, axis=ax, mode="constant"))
+            # first (lowest) class id claims contested boundary voxels
+            # (reference: new values only where boundaries == 0)
+            bmap = np.where((mag > 0) & (bmap == 0), i, bmap)
+        out = np.where((bmap > 0)[..., None], colors[bmap], out)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def overlay_volume_to_grid(image: np.ndarray, labels: np.ndarray,
+                           every: int = 4, overlay_coef: float = 0.2) -> np.ndarray:
+    """(D, H, W) CT + labels -> grid of every-nth overlaid axial slice;
+    2D inputs render as one panel.  Boundary pass runs on the full volume
+    first so slice panels show true 3D organ borders."""
+    image = np.asarray(image)
+    labels = np.asarray(labels)
+    if image.ndim == 2:
+        image, labels = image[None], labels[None]
+    rgb = overlay_mask_on_image(image, labels, overlay_coef=overlay_coef)
+    return make_grid([rgb[z] for z in range(0, rgb.shape[0], every)])
 
 
 def annotate_grid(grid: np.ndarray, text: str, color=(255, 255, 0)) -> np.ndarray:

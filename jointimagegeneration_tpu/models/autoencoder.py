@@ -64,17 +64,20 @@ class AutoencoderKL(nn.Module):
     dims: int = 2
     dropout: float = 0.0
     resolution: int = 512
+    attn_type: str = "vanilla"  # make_attn routing (model.py:264): vanilla|linear|none
 
     def setup(self):
         self.encoder = Encoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, z_channels=self.z_channels,
             double_z=True, dims=self.dims, dropout=self.dropout, resolution=self.resolution,
+            attn_type=self.attn_type,
         )
         self.decoder = Decoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, out_ch=self.out_ch,
             dims=self.dims, dropout=self.dropout, resolution=self.resolution,
+            attn_type=self.attn_type,
         )
         self.quant_conv = _conv(2 * self.embed_dim, 1, self.dims, name="quant_conv")
         self.post_quant_conv = _conv(self.z_channels, 1, self.dims, name="post_quant_conv")
@@ -114,17 +117,20 @@ class VQModel(nn.Module):
     dims: int = 2
     dropout: float = 0.0
     resolution: int = 256
+    attn_type: str = "vanilla"  # make_attn routing (model.py:264): vanilla|linear|none
 
     def setup(self):
         self.encoder = Encoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, z_channels=self.z_channels,
             double_z=False, dims=self.dims, dropout=self.dropout, resolution=self.resolution,
+            attn_type=self.attn_type,
         )
         self.decoder = Decoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, out_ch=self.out_ch,
             dims=self.dims, dropout=self.dropout, resolution=self.resolution,
+            attn_type=self.attn_type,
         )
         self.quant_conv = _conv(self.embed_dim, 1, self.dims, name="quant_conv")
         self.post_quant_conv = _conv(self.z_channels, 1, self.dims, name="post_quant_conv")

@@ -71,7 +71,7 @@ class GroupNorm32(nn.Module):
 
 
 def _conv(features: int, kernel: int, dims: int, strides: int = 1, zero_init: bool = False, name=None,
-          padding: Optional[int] = None, dtype=None):
+          padding: Optional[int] = None, dtype=None, use_bias: bool = True):
     """Conv with fp32 params; `dtype` sets the COMPUTE dtype (params are
     cast per-op).  Without an explicit dtype flax promotes bf16 activations
     back to fp32 against the fp32 params — silently forfeiting the MXU's
@@ -86,6 +86,7 @@ def _conv(features: int, kernel: int, dims: int, strides: int = 1, zero_init: bo
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
         param_dtype=jnp.float32,
         dtype=dtype,
+        use_bias=use_bias,
         name=name,
     )
 

@@ -17,7 +17,56 @@ from flax import linen as nn
 
 from .blocks import AttentionBlock, GroupNorm32, _conv, _nearest_up2
 
-__all__ = ["Encoder", "Decoder", "VectorQuantizer"]
+__all__ = ["Encoder", "Decoder", "LinearAttentionBlock", "VectorQuantizer"]
+
+
+class LinearAttentionBlock(nn.Module):
+    """Linear (kernelized) attention, O(N·d·e) instead of O(N²): softmax
+    over the TOKEN axis of k, then two small einsums that map straight to
+    MXU matmuls — no N×N score matrix is ever materialised.
+
+    Channels-last re-design of the reference's LinearAttention /
+    LinAttnBlock (ldm/modules/attention.py:80-104, model.py:148-152),
+    reachable there via `attn_type: "linear"` (make_attn, model.py:264).
+    Reference quirks kept for parity: qkv projection has no bias, and
+    LinAttnBlock applies NO norm and NO residual around the attention
+    (unlike AttnBlock).  Channel order of the qkv projection is
+    (qkv, heads, dim) and of the output (heads, dim), matching the torch
+    rearrange patterns so converted weights transfer."""
+
+    heads: int = 1
+    dim_head: Optional[int] = None  # default: in_channels (LinAttnBlock)
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        d = c if self.dim_head is None else self.dim_head
+        hidden = self.heads * d
+        qkv = _conv(3 * hidden, 1, self.dims, use_bias=False, name="to_qkv")(x)
+        spatial = x.shape[1:-1]
+        n = 1
+        for s in spatial:
+            n *= s
+        qkv = qkv.reshape(x.shape[0], n, 3, self.heads, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(x.dtype)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(x.shape[0], *spatial, hidden)
+        return _conv(c, 1, self.dims, name="to_out")(out)
+
+
+def make_attn(attn_type: str, dims: int, name: str):
+    """Attention-block factory mirroring the reference's `make_attn`
+    (model.py:264-273): 'vanilla' | 'linear' | 'none'."""
+    if attn_type == "vanilla":
+        return AttentionBlock(num_heads=1, eps=1e-6, name=name)
+    if attn_type == "linear":
+        return LinearAttentionBlock(dims=dims, name=name)
+    if attn_type == "none":
+        return lambda h: h
+    raise ValueError(f"attn_type {attn_type!r} unknown (vanilla|linear|none)")
 
 
 class VAEResBlock(nn.Module):
@@ -52,6 +101,7 @@ class Encoder(nn.Module):
     dims: int = 2
     dropout: float = 0.0
     resolution: int = 256  # nominal input size used to track attn placement
+    attn_type: str = "vanilla"  # vanilla | linear | none (make_attn routing)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -63,7 +113,7 @@ class Encoder(nn.Module):
                     h, deterministic=deterministic
                 )
                 if res in self.attn_resolutions:
-                    h = AttentionBlock(num_heads=1, eps=1e-6, name=f"down_{level}_{i}_attn")(h)
+                    h = make_attn(self.attn_type, self.dims, f"down_{level}_{i}_attn")(h)
             if level != len(self.ch_mult) - 1:
                 # asymmetric (0,1) pad + VALID, matching the reference's
                 # Downsample (model.py:61-73) so its trained weights
@@ -73,7 +123,7 @@ class Encoder(nn.Module):
                           name=f"down_{level}_ds")(h)
                 res //= 2
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_1")(h, deterministic=deterministic)
-        h = AttentionBlock(num_heads=1, eps=1e-6, name="mid_attn")(h)
+        h = make_attn(self.attn_type, self.dims, "mid_attn")(h)
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_2")(h, deterministic=deterministic)
         h = nn.silu(GroupNorm32(name="norm_out", eps=1e-6)(h))
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
@@ -91,13 +141,14 @@ class Decoder(nn.Module):
     dims: int = 2
     dropout: float = 0.0
     resolution: int = 256
+    attn_type: str = "vanilla"  # vanilla | linear | none (make_attn routing)
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         res = self.resolution // 2 ** (len(self.ch_mult) - 1)
         h = _conv(self.ch * self.ch_mult[-1], 3, self.dims, name="conv_in")(z)
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_1")(h, deterministic=deterministic)
-        h = AttentionBlock(num_heads=1, eps=1e-6, name="mid_attn")(h)
+        h = make_attn(self.attn_type, self.dims, "mid_attn")(h)
         h = VAEResBlock(h.shape[-1], self.dims, self.dropout, name="mid_2")(h, deterministic=deterministic)
         for level, mult in reversed(list(enumerate(self.ch_mult))):
             for i in range(self.num_res_blocks + 1):
@@ -105,7 +156,7 @@ class Decoder(nn.Module):
                     h, deterministic=deterministic
                 )
                 if res in self.attn_resolutions:
-                    h = AttentionBlock(num_heads=1, eps=1e-6, name=f"up_{level}_{i}_attn")(h)
+                    h = make_attn(self.attn_type, self.dims, f"up_{level}_{i}_attn")(h)
             if level != 0:
                 h = _nearest_up2(h, self.dims)
                 h = _conv(h.shape[-1], 3, self.dims, name=f"up_{level}_us")(h)

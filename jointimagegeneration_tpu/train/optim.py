@@ -155,18 +155,22 @@ def build_lr_schedule(
         return sched
 
     if lr_function == "warmup-cosine":  # LDM LambdaWarmUpCosineScheduler (lr_scheduler.py:4-36)
+        # lr_min/lr_max/lr_start are MULTIPLIERS on base_lr, exactly like the
+        # cyclic schedules below: the reference applies schedule(n) through
+        # torch LambdaLR ("note: use with a base_lr of 1.0", lr_scheduler.py:6;
+        # ddpm.py:1391), so the absolute lr is base_lr * f(n).
         warm_up_steps = p.get("warm_up_steps", 0)
-        lr_min = p.get("lr_min", 0.0)
-        lr_max = p.get("lr_max", base_lr)
-        lr_start = p.get("lr_start", 0.0)
+        f_min = p.get("lr_min", 0.0)
+        f_max = p.get("lr_max", 1.0)
+        f_start = p.get("lr_start", 0.0)
         decay_steps = p.get("max_decay_steps", total_steps)
 
         def sched(step):
             s = step.astype(jnp.float32)
-            warm = lr_start + s / max(warm_up_steps, 1) * (lr_max - lr_start)
+            warm = f_start + s / max(warm_up_steps, 1) * (f_max - f_start)
             t = jnp.minimum((s - warm_up_steps) / max(decay_steps - warm_up_steps, 1), 1.0)
-            cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(t * jnp.pi))
-            return jnp.where(s < warm_up_steps, warm, cos)
+            cos = f_min + 0.5 * (f_max - f_min) * (1 + jnp.cos(t * jnp.pi))
+            return base_lr * jnp.where(s < warm_up_steps, warm, cos)
 
         return sched
 
@@ -198,16 +202,23 @@ def build_lr_schedule(
         f_min = _per_cycle("f_min", [0.0])
         f_max = _per_cycle("f_max", [1.0])
         f_start = _per_cycle("f_start", [0.0])
-        cum = np.cumsum([0.0] + list(cycle_lengths))
-        starts = jnp.asarray(cum[:-1], jnp.float32)
-        uppers = jnp.asarray(cum[1:], jnp.float32)
-        lens = jnp.asarray(cycle_lengths, jnp.float32)
+        # Cycle selection and the since-cycle-start offset run in INTEGER
+        # arithmetic: canonical LDM configs use cycle_lengths like 1e13, and
+        # float32 can't represent steps/boundaries past 2^24 — the offset
+        # `s - starts[c]` would drift (ADVICE r3).  Steps are int32-exact to
+        # 2^31; boundaries beyond that are clamped (unreachable by any
+        # trainable step count).
+        _imax = np.int64(2**31 - 1)
+        cum = np.minimum(np.cumsum([0] + [int(c) for c in cycle_lengths], dtype=np.int64), _imax)
+        starts = jnp.asarray(cum[:-1], jnp.int32)
+        uppers = jnp.asarray(cum[1:], jnp.int32)
+        lens = jnp.asarray(cycle_lengths, jnp.float32)  # true lengths: only the searchsorted bounds are clamped
         cosine = lr_function == "warmup-cosine2"
 
         def sched(step):
-            s = step.astype(jnp.float32)
+            s = step.astype(jnp.int32)
             c = jnp.clip(jnp.searchsorted(uppers, s, side="left"), 0, ncyc - 1)
-            n = s - starts[c]
+            n = (s - starts[c]).astype(jnp.float32)
             w = warm[c]
             warm_f = f_start[c] + (f_max[c] - f_start[c]) / jnp.maximum(w, 1.0) * n
             if cosine:

@@ -148,3 +148,46 @@ def test_persistent_compile_cache_noop_on_cpu():
     before = jax.config.jax_compilation_cache_dir
     assert enable_persistent_compile_cache() is False  # suite runs on CPU
     assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_overlay_mask_on_image_matches_hand_blend():
+    """overlay_mask_on_image vs a hand-computed alpha blend (the reference
+    ImageLogger's combine_mask_and_im, latentdiffusion/main.py:28-67):
+    background voxels keep the raw CT; labeled interiors blend
+    color*0.2 + image*0.8; boundary voxels show the SOLID class color."""
+    from jointimagegeneration_tpu.data.classes import class_color_map
+    from jointimagegeneration_tpu.eval.writers import overlay_mask_on_image
+
+    h = w = 12
+    image = np.full((h, w), 0.5, np.float32)
+    labels = np.zeros((h, w), np.int64)
+    labels[3:9, 3:9] = 2  # kidney_left block
+    out = overlay_mask_on_image(image, labels, overlay_coef=0.2)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+    colors = class_color_map().astype(np.float32)
+    gray = 0.5 * 255.0
+    # background far from the block: untouched CT gray
+    np.testing.assert_array_equal(out[0, 0], np.full(3, int(gray)))
+    # interior of the block (sobel support is 1 voxel -> (5,5) is inside
+    # the 3..8 block but touches no boundary): hand-computed blend
+    want_in = np.clip(colors[2] * 0.2 + gray * 0.8, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out[5, 5], want_in)
+    # boundary voxel: solid class color
+    np.testing.assert_array_equal(out[3, 3], colors[2].astype(np.uint8))
+    # boundaries=False: edge voxel gets the plain blend too
+    out2 = overlay_mask_on_image(image, labels, overlay_coef=0.2, boundaries=False)
+    np.testing.assert_array_equal(out2[3, 3], want_in)
+
+
+def test_overlay_volume_grid_shapes():
+    from jointimagegeneration_tpu.eval.writers import overlay_volume_to_grid
+
+    vol = np.random.default_rng(0).random((4, 8, 8)).astype(np.float32)
+    labels = np.zeros((4, 8, 8), np.int64)
+    labels[:, 2:5, 2:5] = 1
+    g = overlay_volume_to_grid(vol, labels, every=2)  # 2 panels
+    assert g.dtype == np.uint8 and g.shape[-1] == 3
+    # 2D single-slice input renders as one panel
+    g2 = overlay_volume_to_grid(vol[0], labels[0], every=1)
+    assert g2.shape == (8, 8, 3)

@@ -380,6 +380,10 @@ def _ldm_lr():
 
 
 def test_ldm_warmup_cosine_matches_reference():
+    """base_lr != 1.0 on purpose: the reference applies schedule(n) as a
+    LambdaLR MULTIPLIER on base lr (ddpm.py:1391; lr_scheduler.py:6 "use
+    with a base_lr of 1.0" refers to the torch initial_lr) — ADVICE r3
+    found our branch returning f(n) as an absolute lr."""
     import jax.numpy as jnp
 
     from jointimagegeneration_tpu.train.optim import build_lr_schedule
@@ -387,12 +391,37 @@ def test_ldm_warmup_cosine_matches_reference():
     m = _ldm_lr()
     ref = m.LambdaWarmUpCosineScheduler(
         warm_up_steps=100, lr_min=0.01, lr_max=1.0, lr_start=0.1, max_decay_steps=1000)
+    base_lr = 3e-4
     ours = build_lr_schedule(
-        "warmup-cosine", 1.0, 1000,
+        "warmup-cosine", base_lr, 1000,
         {"warm_up_steps": 100, "lr_min": 0.01, "lr_max": 1.0, "lr_start": 0.1})
     for n in [0, 1, 50, 99, 100, 101, 500, 999, 1000, 1499]:
         got = float(ours(jnp.asarray(n)))
-        assert got == pytest.approx(ref(n), rel=1e-5, abs=1e-8), n
+        assert got == pytest.approx(ref(n) * base_lr, rel=1e-5, abs=1e-12), n
+
+
+def test_ldm_cyclic_scheduler_large_boundary_precision():
+    """Canonical LDM configs use cycle_lengths ~1e13; past 2^24, float32
+    steps/boundaries lose integer precision, drifting the cycle SELECTION
+    and the since-cycle-start offset (ADVICE r3).  Both now run in int32:
+    a boundary at 2^25+3 must flip cycles at exactly the right step, and
+    the second cycle's warmup offset must restart from ~0, not from a
+    multi-step f32 rounding residue."""
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.train.optim import build_lr_schedule
+
+    b = 2**25 + 3  # not f32-representable (rounds to 2^25)
+    ours = build_lr_schedule(
+        "warmup-linear", 1.0, 10**13,
+        {"warm_up_steps": [0, 1000], "f_min": [0.5, 0.9], "f_max": [0.5, 0.9],
+         "f_start": [0.0, 0.0], "cycle_lengths": [b, 10**13]})
+    # last step of cycle 0 (n <= cl convention) -> flat f=0.5
+    assert float(ours(jnp.asarray(b))) == pytest.approx(0.5, abs=1e-6)
+    # first steps of cycle 1: warmup ramp f = 0.9 * n/1000 with n exact
+    for n in (1, 2, 500):
+        got = float(ours(jnp.asarray(b + n)))
+        assert got == pytest.approx(0.9 * n / 1000, rel=1e-5, abs=1e-7), n
 
 
 @pytest.mark.parametrize("kind", ["warmup-cosine2", "warmup-linear"])
@@ -590,3 +619,67 @@ def test_plms_full_chain_matches_reference():
     got = plms_sample_loop(eps_jax, ours, jnp.moveaxis(jnp.asarray(x_T), 1, -1))
     np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1),
                                want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+@lru_cache(maxsize=None)
+def _ldm_attention():
+    util = _ldm_util()
+    for name in ("ldm", "ldm.modules", "ldm.modules.diffusionmodules"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["ldm.modules.diffusionmodules.util"] = util
+    return _load_file(
+        "_ref_ldm_attention",
+        REF / "latentdiffusion" / "ldm" / "modules" / "attention.py")
+
+
+def test_linear_attention_matches_reference():
+    """Our LinearAttentionBlock vs the reference's own LinearAttention
+    (ldm/modules/attention.py:80-96, reachable via make_attn's
+    attn_type="linear", model.py:264) with the torch weights transplanted:
+    same token-softmax kernelized attention, channels-last."""
+    import jax
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.nn.vae import LinearAttentionBlock
+
+    attn_mod = _ldm_attention()
+    C, heads, dim_head = 6, 2, 4
+    ref = attn_mod.LinearAttention(dim=C, heads=heads, dim_head=dim_head)
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, C, 5, 7).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+
+    ours = LinearAttentionBlock(heads=heads, dim_head=dim_head, dims=2)
+    x_jax = jnp.moveaxis(jnp.asarray(x), 1, -1)
+    params = ours.init(jax.random.key(0), x_jax)["params"]
+    # torch Conv2d weight (O, I, 1, 1) -> flax HWIO kernel (1, 1, I, O)
+    params["to_qkv"]["kernel"] = jnp.asarray(
+        ref.to_qkv.weight.detach().numpy().transpose(2, 3, 1, 0))
+    params["to_out"]["kernel"] = jnp.asarray(
+        ref.to_out.weight.detach().numpy().transpose(2, 3, 1, 0))
+    params["to_out"]["bias"] = jnp.asarray(ref.to_out.bias.detach().numpy())
+    got = ours.apply({"params": params}, x_jax)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_vae_encoder_attn_type_routing():
+    """make_attn routing: attn_type='linear' swaps the attention blocks,
+    'none' removes their params entirely; shapes are unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.nn.vae import Encoder
+
+    x = jnp.zeros((1, 16, 16, 1))
+    for attn_type, marker in (("linear", "to_qkv"), ("vanilla", "qkv"), ("none", None)):
+        enc = Encoder(ch=8, ch_mult=(1, 2), num_res_blocks=1, z_channels=2,
+                      resolution=16, attn_resolutions=(), attn_type=attn_type)
+        params = enc.init(jax.random.key(0), x)["params"]
+        out = enc.apply({"params": params}, x)
+        assert out.shape == (1, 8, 8, 4)
+        if marker is None:
+            assert "mid_attn" not in params
+        else:
+            assert marker in params["mid_attn"], sorted(params["mid_attn"])

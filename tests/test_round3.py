@@ -318,7 +318,10 @@ def test_ct_sample_cli_metrics(tmp_path):
     m = json.loads((tmp_path / "samples" / "metrics.json").read_text())
     assert len(m["lpips_per_case"]) == 2
     assert np.isfinite(m["lpips_three_view_mean"]) and np.isfinite(m["fvd"])
-    assert m["fvd_backbone"] == "pyramid"
+    # fallback numbers must be labeled as NOT published-FVD-comparable
+    # (VERDICT r3 weak #5 / next #7)
+    assert m["fvd_feature_extractor"] == "pyramid-uncalibrated"
+    assert m["fvd_backbone"] == m["fvd_feature_extractor"]
 
 
 # ----------------------------------------------- ViT log-bin + saliency extras
