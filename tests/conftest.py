@@ -10,6 +10,10 @@ than conftest import)."""
 
 import os
 
+# NB: the axon-env re-exec guard lives in the ROOT conftest.py (it must run
+# before pytest activates fd capture); by the time this file loads the env
+# is already CPU-safe under the default invocation.
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
