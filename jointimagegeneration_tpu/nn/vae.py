@@ -17,7 +17,9 @@ from flax import linen as nn
 
 from .blocks import AttentionBlock, GroupNorm32, _conv, _nearest_up2
 
-__all__ = ["Encoder", "Decoder", "LinearAttentionBlock", "VectorQuantizer"]
+__all__ = ["Encoder", "Decoder", "LinearAttentionBlock", "VectorQuantizer",
+           "SimpleDecoder", "UpsampleDecoder", "LatentRescaler",
+           "MergedRescaleEncoder", "MergedRescaleDecoder", "Upsampler", "make_attn"]
 
 
 class LinearAttentionBlock(nn.Module):
@@ -197,3 +199,159 @@ class VectorQuantizer(nn.Module):
         loss = self.beta * commit + embed
         zq = z + jax.lax.stop_gradient(zq - z)  # straight-through
         return zq, loss, idx.reshape(z.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Stock decoder extras (model.py:634-812) — dead code in the reference's
+# checked-in configs but part of its public surface; kept for parity.
+# ---------------------------------------------------------------------------
+
+
+class SimpleDecoder(nn.Module):
+    """1x1 conv -> ResBlock chain (C->2C->4C->2C) -> 1x1 -> 2x nearest
+    upsample + conv -> GN/swish/conv_out (SimpleDecoder, model.py:634-667)."""
+
+    out_channels: int
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = _conv(c, 1, self.dims, name="conv_a")(x)
+        h = VAEResBlock(2 * c, self.dims, name="res_1")(h, deterministic=deterministic)
+        h = VAEResBlock(4 * c, self.dims, name="res_2")(h, deterministic=deterministic)
+        h = VAEResBlock(2 * c, self.dims, name="res_3")(h, deterministic=deterministic)
+        h = _conv(c, 1, self.dims, name="conv_b")(h)
+        h = _nearest_up2(h, self.dims)
+        h = _conv(c, 3, self.dims, name="upsample_conv")(h)
+        h = nn.silu(GroupNorm32(name="norm_out", eps=1e-6)(h))
+        return _conv(self.out_channels, 3, self.dims, name="conv_out")(h)
+
+
+class UpsampleDecoder(nn.Module):
+    """Per-level ResBlock stacks with 2x upsampling between levels
+    (UpsampleDecoder, model.py:670-717)."""
+
+    out_channels: int
+    ch: int
+    num_res_blocks: int = 2
+    ch_mult: Sequence[int] = (2, 2)
+    dims: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        h = x
+        for level, mult in enumerate(self.ch_mult):
+            for i in range(self.num_res_blocks + 1):
+                h = VAEResBlock(self.ch * mult, self.dims, self.dropout,
+                                name=f"res_{level}_{i}")(h, deterministic=deterministic)
+            if level != len(self.ch_mult) - 1:
+                h = _nearest_up2(h, self.dims)
+                h = _conv(h.shape[-1], 3, self.dims, name=f"up_{level}_conv")(h)
+        h = nn.silu(GroupNorm32(name="norm_out", eps=1e-6)(h))
+        return _conv(self.out_channels, 3, self.dims, name="conv_out")(h)
+
+
+class LatentRescaler(nn.Module):
+    """conv_in -> depth ResBlocks -> spatial resize by `factor` (nearest,
+    the torch F.interpolate default) -> attention -> depth ResBlocks ->
+    1x1 conv_out (LatentRescaler, model.py:720-760); dims ∈ {2, 3}."""
+
+    factor: float
+    mid_channels: int
+    out_channels: int
+    depth: int = 2
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        h = _conv(self.mid_channels, 3, self.dims, name="conv_in")(x)
+        for i in range(self.depth):
+            h = VAEResBlock(self.mid_channels, self.dims, name=f"res1_{i}")(h, deterministic=deterministic)
+        spatial = tuple(int(round(s * self.factor)) for s in h.shape[1:-1])
+        h = jax.image.resize(h, (h.shape[0], *spatial, h.shape[-1]), method="nearest")
+        h = AttentionBlock(num_heads=1, eps=1e-6, name="attn")(h)
+        for i in range(self.depth):
+            h = VAEResBlock(self.mid_channels, self.dims, name=f"res2_{i}")(h, deterministic=deterministic)
+        return _conv(self.out_channels, 1, self.dims, name="conv_out")(h)
+
+
+class MergedRescaleEncoder(nn.Module):
+    """Encoder (double_z=False) composed with a LatentRescaler
+    (model.py:763-776)."""
+
+    in_ch: int
+    ch: int
+    out_ch: int
+    num_res_blocks: int
+    attn_resolutions: Sequence[int] = ()
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    rescale_factor: float = 1.0
+    rescale_module_depth: int = 1
+    resolution: int = 256
+    dims: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        mid = self.ch * self.ch_mult[-1]
+        h = Encoder(ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
+                    attn_resolutions=self.attn_resolutions, z_channels=mid, double_z=False,
+                    dims=self.dims, dropout=self.dropout, resolution=self.resolution,
+                    name="encoder")(x, deterministic=deterministic)
+        return LatentRescaler(self.rescale_factor, mid, self.out_ch,
+                              depth=self.rescale_module_depth, dims=self.dims,
+                              name="rescaler")(h, deterministic=deterministic)
+
+
+class MergedRescaleDecoder(nn.Module):
+    """LatentRescaler composed with a Decoder (model.py:778-792)."""
+
+    z_channels: int
+    out_ch: int
+    ch: int
+    num_res_blocks: int
+    attn_resolutions: Sequence[int] = ()
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    rescale_factor: float = 1.0
+    rescale_module_depth: int = 1
+    resolution: int = 256
+    dims: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        tmp = self.z_channels * self.ch_mult[-1]
+        h = LatentRescaler(self.rescale_factor, tmp, tmp,
+                           depth=self.rescale_module_depth, dims=self.dims,
+                           name="rescaler")(z, deterministic=deterministic)
+        return Decoder(ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
+                       attn_resolutions=self.attn_resolutions, out_ch=self.out_ch,
+                       dims=self.dims, dropout=self.dropout, resolution=self.resolution,
+                       name="decoder")(h, deterministic=deterministic)
+
+
+class Upsampler(nn.Module):
+    """LatentRescaler + all-up Decoder sized by log2(out/in)
+    (Upsampler, model.py:795-812)."""
+
+    in_size: int
+    out_size: int
+    out_channels: int
+    ch_mult: int = 2
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        assert self.out_size >= self.in_size
+        import math as _math
+
+        num_blocks = int(_math.log2(self.out_size // self.in_size)) + 1
+        factor_up = 1.0 + (self.out_size % self.in_size)
+        c = x.shape[-1]
+        h = LatentRescaler(factor_up, 2 * c, c, dims=self.dims,
+                           name="rescaler")(x, deterministic=deterministic)
+        return Decoder(ch=c, ch_mult=[self.ch_mult] * num_blocks, num_res_blocks=2,
+                       attn_resolutions=(), out_ch=self.out_channels, dims=self.dims,
+                       resolution=self.out_size, name="decoder")(h, deterministic=deterministic)

@@ -108,3 +108,51 @@ def test_gan_feature_matching_term(tiny_ae):
     ))
     state, metrics = step(state, {"image": x}, jax.random.key(24))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vae_stock_extras_shapes():
+    """SimpleDecoder / UpsampleDecoder / LatentRescaler / Merged* /
+    Upsampler (model.py:634-812): dead code in the reference's configs but
+    part of its public surface — shape contracts at tiny sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from jointimagegeneration_tpu.nn.vae import (
+        LatentRescaler, MergedRescaleDecoder, MergedRescaleEncoder,
+        SimpleDecoder, UpsampleDecoder, Upsampler)
+
+    key = jax.random.key(0)
+    x = jnp.zeros((1, 8, 8, 4))
+
+    m = SimpleDecoder(out_channels=3)
+    out = m.apply(m.init(key, x), x)
+    assert out.shape == (1, 16, 16, 3)  # one 2x upsample
+
+    m = UpsampleDecoder(out_channels=2, ch=4, num_res_blocks=1, ch_mult=(2, 2))
+    out = m.apply(m.init(key, x), x)
+    assert out.shape == (1, 16, 16, 2)  # upsample between the 2 levels
+
+    m = LatentRescaler(factor=1.5, mid_channels=6, out_channels=5)
+    out = m.apply(m.init(key, x), x)
+    assert out.shape == (1, 12, 12, 5)  # 8 * 1.5
+
+    # 3D variant (the reference's dims=3 default)
+    x3 = jnp.zeros((1, 4, 8, 8, 4))
+    m = LatentRescaler(factor=0.5, mid_channels=6, out_channels=5, dims=3)
+    out = m.apply(m.init(key, x3), x3)
+    assert out.shape == (1, 2, 4, 4, 5)
+
+    xi = jnp.zeros((1, 16, 16, 3))
+    m = MergedRescaleEncoder(in_ch=3, ch=4, out_ch=6, num_res_blocks=1,
+                             ch_mult=(1, 2), rescale_factor=1.0, resolution=16)
+    out = m.apply(m.init(key, xi), xi)
+    assert out.shape == (1, 8, 8, 6)  # one downsample level, rescale 1.0
+
+    m = MergedRescaleDecoder(z_channels=4, out_ch=3, ch=4, num_res_blocks=1,
+                             ch_mult=(1, 2), rescale_factor=1.0, resolution=16)
+    out = m.apply(m.init(key, x), x)
+    assert out.shape == (1, 16, 16, 3)
+
+    m = Upsampler(in_size=8, out_size=16, out_channels=3)
+    out = m.apply(m.init(key, x), x)
+    assert out.shape == (1, 16, 16, 3)  # log2(2)+1 = 2 levels -> one 2x up
