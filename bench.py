@@ -69,10 +69,17 @@ def emit(metric, value, unit):
                       "vs_baseline": None}), flush=True)
 
 
+_ONLY = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
+
+
 def leg(name, est_cold_s, fn):
     """Run one bench leg if the remaining wall-clock budget can plausibly
     absorb a cold-cache compile (est_cold_s); otherwise say so and move on.
-    Failures never kill the process — later legs still run."""
+    Failures never kill the process — later legs still run.  BENCH_ONLY
+    (comma-separated leg names) restricts to a subset, e.g. to re-run legs
+    a mid-process TPU-worker crash took out without repeating the rest."""
+    if _ONLY and name not in _ONLY:
+        return None
     if _remaining() < est_cold_s:
         print(json.dumps({"metric": name, "skipped": "budget",
                           "est_cold_s": est_cold_s,
@@ -383,10 +390,13 @@ def main():
 
     # --- e2e group (the BASELINE north star) ---
     e2e = None
-    try:
-        e2e = _E2E()
-    except Exception as e:
-        print(json.dumps({"metric": "e2e_setup", "error": str(e)[:200]}), flush=True)
+    e2e_names = {"e2e_fit_legs", "e2e_dpm20", "e2e_dpm20_warm04",
+                 "e2e_direct_128slice", "e2e_direct_128slice_dpm20"}
+    if not _ONLY or (_ONLY & e2e_names):
+        try:
+            e2e = _E2E()
+        except Exception as e:
+            print(json.dumps({"metric": "e2e_setup", "error": str(e)[:200]}), flush=True)
     if e2e is not None:
         leg("e2e_fit_legs", 240, e2e.leg_fit)
         leg("e2e_dpm20", 180, e2e.leg_dpm)
