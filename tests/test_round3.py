@@ -450,3 +450,32 @@ def test_mask_sample_cli_2d_ragged_tail(tmp_path):
     sample_cli.main([str(p)])
     for i in range(3):
         assert (tmp_path / "samples" / f"case_{i:04d}" / "pred.nii.gz").exists()
+
+
+@pytest.mark.slow
+def test_train_ldm_image_trail_writes_overlay_panel(tmp_path):
+    """The training image trail includes the mask-over-sample alpha overlay
+    (the reference ImageLogger's combine_mask_and_im artifact,
+    main.py:28-67): a tiny train_ldm run with validation on writes
+    val_overlay alongside val_samples into the PNG trail."""
+    from jointimagegeneration_tpu.cli import train_ldm
+
+    cfg = {
+        "batch_size": 2, "max_steps": 2, "save_freq": 2, "display_freq": 1,
+        "eval_every": 2, "validate": True, "scale_lr": False,
+        "n_log_images": 1, "log_ddim_steps": 2,
+        "output_path": str(tmp_path / "runs"),
+        "model": {
+            "timesteps": 8, "bf16": False,
+            "unet": {"model_channels": 8, "channel_mult": [1, 2], "attention_resolutions": [],
+                     "num_res_blocks": 1, "num_head_channels": 4},
+        },
+        "dataset": {"kind": "synthetic", "num_cases": 4, "slice_shape": [8, 8], "depth": 4},
+    }
+    cfg_path = tmp_path / "ldm_overlay.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train_ldm.main([str(cfg_path), "ovexp"])
+    images = list((tmp_path / "runs" / "ovexp" / "images").glob("*.png"))
+    names = {p.name.rsplit("_gs-", 1)[0] for p in images}
+    assert "val_samples" in names, sorted(names)
+    assert "val_overlay" in names, sorted(names)
