@@ -367,18 +367,59 @@ class _E2E:
                         self.args(6), iters=1)
         emit(f"e2e_two_stage_dpm20_warm04_{n}x{self.size}x{self.size}_seconds", dt, "s")
 
+    def _direct_chunked(self, ddim, **kw):
+        """The north star measured DIRECTLY (VERDICT r3 #2), in FIVE
+        dispatches — one mask program + four 32-slice sample_volume
+        chunks seeded with the previous chunk's last slice — because the
+        single-scan 128-slice program (~77 s device time) crashes the
+        tunneled TPU worker (BENCH_NOTES round 4).  Semantics identical
+        to the fused pipeline (sample_diffusion.py:208-223 autoregression);
+        the ~ms per-dispatch overhead is real serving overhead, included."""
+        from jointimagegeneration_tpu.pipeline.two_stage import (
+            normalize_mask_channel, upsample_labels)
+
+        D, CHUNK = 128, 32
+        cond = jnp.zeros((1, *self.spatial, 1), jnp.bfloat16)
+
+        @jax.jit
+        def mask_program(params, key):
+            labels = self.ms.sample_labels(params, key, (1, *self.spatial),
+                                           cond=cond, num_steps=25)
+            return normalize_mask_channel(
+                upsample_labels(labels, (D, self.size, self.size)), self.ms.num_classes)
+
+        @jax.jit
+        def chunk(params, key, mask_chunk, init_slice):
+            vol = self.ldm.sample_volume(params, key, mask_chunk, ddim,
+                                         init_slice=init_slice, **kw)
+            return vol, vol[:, -1]
+
+        # compile + relay warm, untimed
+        mv = mask_program(self.ms_params, jax.random.key(2))
+        _ = float(jnp.sum(mv))
+        _v, last = chunk(self.ldm_params, jax.random.key(3), mv[:, :CHUNK],
+                         jnp.zeros((1, self.size, self.size, 1)))
+        _ = float(jnp.sum(last))
+
+        t0 = time.perf_counter()
+        mv = mask_program(self.ms_params, jax.random.key(10))
+        total = jnp.zeros((), jnp.float32)
+        init = jnp.zeros((1, self.size, self.size, 1))
+        for k in range(D // CHUNK):
+            v, last = chunk(self.ldm_params, jax.random.key(20 + k),
+                            mv[:, k * CHUNK : (k + 1) * CHUNK], init)
+            init = last
+            total = total + jnp.sum(v)
+        _ = float(total)
+        return time.perf_counter() - t0
+
     def leg_direct_128(self):
-        """The north-star measured DIRECTLY: one full 128-slice 256² run
-        at ddim-50 with reference semantics (VERDICT r3 #2 — replaces the
-        extrapolation with a measurement).  Same scan program shape as the
-        16-slice leg, different trip count."""
-        dt = time_chain(self.make_run(128), self.args(7), iters=1)
+        dt = self._direct_chunked(self.ddim)
         self.direct_128 = dt
         emit("e2e_direct_128slice_256x256_seconds", dt, "s")
 
     def leg_direct_128_dpm(self):
-        dt = time_chain(self.make_run(128, ddim=self._dpm(), sampler="dpm"),
-                        self.args(8), iters=1)
+        dt = self._direct_chunked(self._dpm(), sampler="dpm")
         emit("e2e_direct_128slice_dpm20_256x256_seconds", dt, "s")
 
 
