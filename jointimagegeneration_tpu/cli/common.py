@@ -359,4 +359,34 @@ def build_slice_dataset(cfg: dict, split: str):
             d["root"], split=split, slice_shape=shape,
             num_classes=cfg.get("num_classes", 12),
         )
+    if kind == "lsun":
+        # stock LSUN filelist datasets (ldm/data/lsun.py); pair with an
+        # unconditional model (cond_channels: 0, channels: 3)
+        from ..data.stock import LSUNBase, lsun_dataset
+
+        if "txt_file" in d:
+            return LSUNBase(d["txt_file"], d["data_root"], size=d.get("size", shape[0]),
+                            flip_p=d.get("flip_p", 0.5 if split == "train" else 0.0))
+        return lsun_dataset(d["category"], "train" if split == "train" else "val",
+                            size=d.get("size", shape[0]))
+    if kind == "imagenet":
+        from ..data.stock import ImageNetLocal
+
+        return ImageNetLocal(d["root"], filelist=d.get("filelist"),
+                             size=d.get("size", shape[0]), synsets=d.get("synsets"),
+                             random_crop=split == "train")
+    if kind == "imagenet_sr":
+        # ImageNetSR semantics (imagenet.py:272-374): HR target + LR cond
+        # (bicubic-upsampled) for concat-conditioned SR training
+        from ..data.stock import ImageNetLocal, SRDataset, SRToLDMAdapter
+
+        base = ImageNetLocal(d["root"], filelist=d.get("filelist"),
+                             process_images=False, synsets=d.get("synsets"))
+        sr = SRDataset(base, size=d.get("size", shape[0]),
+                       degradation=d.get("degradation", "bsrgan_light"),
+                       downscale_f=d.get("downscale_f", 4),
+                       min_crop_f=d.get("min_crop_f", 0.5),
+                       max_crop_f=d.get("max_crop_f", 1.0),
+                       random_crop=split == "train")
+        return SRToLDMAdapter(sr)
     raise ValueError(f"unknown dataset kind {kind!r}")

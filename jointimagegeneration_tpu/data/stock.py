@@ -28,7 +28,7 @@ import numpy as np
 
 from .datasets import EpochSeededRNG
 
-__all__ = ["LSUNBase", "lsun_dataset", "ImageNetLocal", "SRDataset"]
+__all__ = ["LSUNBase", "lsun_dataset", "ImageNetLocal", "SRDataset", "SRToLDMAdapter"]
 
 _PIL_INTERP = {"linear": "bilinear", "bilinear": "bilinear", "bicubic": "bicubic",
                "lanczos": "lanczos", "nearest": "nearest"}
@@ -264,3 +264,27 @@ class SRDataset(EpochSeededRNG):
         example["image"] = img.astype(np.float32) / 127.5 - 1.0
         example["LR_image"] = lr_u8.astype(np.float32) / 127.5 - 1.0
         return example
+
+
+class SRToLDMAdapter:
+    """Adapt SRDataset items to the LDM train contract: cond = the LR
+    image upsampled (bicubic) to HR size — the concat conditioning the
+    reference's SR configs feed the UNet."""
+
+    def __init__(self, sr: SRDataset):
+        self.sr = sr
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.sr, "set_epoch"):
+            self.sr.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.sr)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        it = self.sr[i]
+        h, w = it["image"].shape[:2]
+        cond = cv2.resize(it["LR_image"], (w, h), interpolation=cv2.INTER_CUBIC)
+        return {"image": it["image"], "cond": cond.reshape(it["image"].shape)}

@@ -73,3 +73,33 @@ def test_sr_dataset(tmp_path, degradation):
     for k in ("image", "LR_image"):
         assert item[k].dtype == np.float32
         assert item[k].min() >= -1.0 and item[k].max() <= 1.0
+
+
+def test_stock_kinds_config_route(tmp_path):
+    """dataset.kind: lsun / imagenet / imagenet_sr route through
+    build_slice_dataset; the SR adapter yields the LDM train contract
+    (image + bicubic-upsampled LR cond at HR size)."""
+    from jointimagegeneration_tpu.cli.common import build_slice_dataset
+
+    root = tmp_path / "inet"
+    for j in range(2):
+        _write_png(root / "n01440764" / f"f_{j}.JPEG", h=70, w=90, seed=j)
+    lsun_root = tmp_path / "lsun"
+    _write_png(lsun_root / "a.png", seed=5)
+    (tmp_path / "list.txt").write_text("a.png\n")
+
+    ds = build_slice_dataset({"dataset": {
+        "kind": "lsun", "txt_file": str(tmp_path / "list.txt"),
+        "data_root": str(lsun_root), "size": 16}}, "train")
+    assert ds[0]["image"].shape == (16, 16, 3)
+
+    ds = build_slice_dataset({"dataset": {
+        "kind": "imagenet", "root": str(root), "size": 16}}, "val")
+    assert ds[0]["image"].shape == (16, 16, 3) and ds[0]["class_label"] == 0
+
+    ds = build_slice_dataset({"dataset": {
+        "kind": "imagenet_sr", "root": str(root), "size": 32,
+        "degradation": "cv_bicubic"}}, "train")
+    item = ds[0]
+    assert item["image"].shape == item["cond"].shape  # LR upsampled to HR
+    assert set(item) == {"image", "cond"}
