@@ -103,6 +103,10 @@ RUNGS = [
     ("stage2_512_b4_remat", lambda: run_stage2(512, 4, True)),
     ("stage2_384_b8_remat", lambda: run_stage2(384, 8, True)),
     ("stage1_3d_b2_remat", lambda: run_stage1(2, True)),
+    # b=1 controls for the 384² b=8 per-sample claim (same remat setting
+    # and the production no-remat default)
+    ("stage2_384_b1_remat", lambda: run_stage2(384, 1, True)),
+    ("stage2_384_b1", lambda: run_stage2(384, 1, False)),
 ]
 
 
