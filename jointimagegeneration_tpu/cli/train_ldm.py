@@ -188,7 +188,9 @@ def main(argv=None):
                 if row in panels:
                     logger.image(step, f"val/{row}",
                                  image_volume_to_grid(panels[row][:, 0, ..., 0]))
-            if "cond" in batch and batch["cond"].shape[-1] >= 2:
+            if "cond" in batch and batch["cond"].shape[-1] == 2:
+                # exactly the medical [prev slice, mask slice] contract —
+                # other cond layouts (e.g. SR's 3-channel LR) are not masks
                 # mask-over-sample alpha overlay, the reference ImageLogger's
                 # qualitative artifact (combine_mask_and_im, main.py:28-67);
                 # cond channel 1 carries labels/(C-1) (datasets.py SlicePair)
