@@ -93,26 +93,33 @@ def leg(name, est_cold_s, fn):
 
 
 def time_chain(fn, *args, iters=3):
-    """fn must return a scalar; first call warms compile + d2h relay."""
-    _ = float(fn(*args[0] if isinstance(args[0], tuple) else args))
+    """fn is a jax.jit'd callable returning a scalar.  Compiles ONCE via
+    AOT and reuses the executable for warm + timed runs AND (via the
+    returned compiled object) for cost analysis — the old pattern of a
+    second `lower().compile()` inside emit_mfu paid a full relay
+    roundtrip (~30-90 s) per leg, which is what blew the round-4 warm
+    budget.  First call still warms the d2h relay."""
+    a = args[0] if isinstance(args[0], tuple) else args
+    compiled = fn.lower(*a).compile()
+    _ = float(compiled(*a))
     t0 = time.perf_counter()
     for i in range(iters):
-        _ = float(fn(*args[0] if isinstance(args[0], tuple) else args))
-    return (time.perf_counter() - t0) / iters
+        _ = float(compiled(*a))
+    return (time.perf_counter() - t0) / iters, compiled
 
 
 _V5E_PEAK_TFLOPS = 197.0  # bf16
 
 
-def emit_mfu(name, jitted, args, dt_per_step):
+def emit_mfu(name, compiled, dt_per_step):
     """Achieved TF/s + model FLOPs utilisation from XLA's own cost analysis
-    of the compiled chain program (SURVEY §5 tracing/profiling surface).
+    of the ALREADY-compiled program (SURVEY §5 tracing/profiling surface).
     XLA counts a lax.scan/while body ONCE, so for the scan-chain programs
     here `flops` is already per-step (verified on-chip: 2.31 TF reported
     for the 6.15-TFLOP denoise body x 8.7 steps/s ~= the measured 53 TF/s
     whole-model rate only when NOT dividing by chain length)."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
@@ -144,15 +151,15 @@ def bench_stage1_denoise():
         return jnp.sum(x[..., 0])
 
     n_iters = 3
-    _ = float(run_chain(params, jax.random.key(1)))
+    compiled = run_chain.lower(params, jax.random.key(1)).compile()
+    _ = float(compiled(params, jax.random.key(1)))
     t0 = time.perf_counter()
     for i in range(n_iters):
-        _ = float(run_chain(params, jax.random.key(2 + i)))
+        _ = float(compiled(params, jax.random.key(2 + i)))
     dt = time.perf_counter() - t0
     emit("stage1_denoise_steps_per_sec_per_chip_64x128x128",
          chain_steps * n_iters / dt, "steps/s")
-    emit_mfu("stage1_denoise", run_chain, (params, jax.random.key(1)),
-             dt / (chain_steps * n_iters))
+    emit_mfu("stage1_denoise", compiled, dt / (chain_steps * n_iters))
 
 
 def bench_stage1_train():
@@ -181,7 +188,8 @@ def bench_stage1_train():
     # full shape is near the remote compile helper's memory ceiling — a
     # 4-step scan of it gets the helper SIGKILLed.  Per-step dispatch is
     # ~1 ms against a ~570 ms step, so timing sequential calls is faithful.
-    jstep = jax.jit(step, donate_argnums=(0,))
+    jstep = jax.jit(step, donate_argnums=(0,)).lower(
+        state, batch, jax.random.key(1)).compile()
     state, m = jstep(state, batch, jax.random.key(1))
     _ = float(m["loss"])  # warm: compile + relay
     n = 3
@@ -191,7 +199,7 @@ def bench_stage1_train():
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n
     emit("stage1_train_steps_per_sec_64x128x128", 1.0 / dt, "steps/s")
-    emit_mfu("stage1_train", jstep, (state, batch, jax.random.key(9)), dt)
+    emit_mfu("stage1_train", jstep, dt)
 
 
 def _stage2_train_leg(size, batch, name, rate_metric, rate_unit, rate_fn):
@@ -209,11 +217,12 @@ def _stage2_train_leg(size, batch, name, rate_metric, rate_unit, rate_fn):
     )
     params = model.init_params(jax.random.key(1), size)
     state = EMATrainState.create(params, build_optimizer("AdamW", 1e-4))
-    jstep = jax.jit(make_ldm_train_step(model), donate_argnums=(0,))
     batch_d = {
         "image": jnp.zeros((batch, size, size, 1)),
         "cond": jnp.zeros((batch, size, size, 2)),
     }
+    jstep = jax.jit(make_ldm_train_step(model), donate_argnums=(0,)).lower(
+        state, batch_d, jax.random.key(1)).compile()
     state, m = jstep(state, batch_d, jax.random.key(1))
     _ = float(m["loss"])
     n = 3
@@ -226,7 +235,7 @@ def _stage2_train_leg(size, batch, name, rate_metric, rate_unit, rate_fn):
     # MFU from cost analysis of the exact compiled step.  The big train
     # state stays local to this function and is freed before the next leg
     # allocates its own (keeping both resident can OOM the b=8 leg).
-    emit_mfu(name, jstep, (state, batch_d, jax.random.key(9)), dt)
+    emit_mfu(name, jstep, dt)
 
 
 def _stage2(size, ddim_steps):
@@ -254,9 +263,9 @@ def bench_stage2_ddim():
         s = model.sample_slice(params, key, cond, ddim)
         return jnp.sum(s)
 
-    dt = time_chain(run, params, jax.random.key(2))
+    dt, compiled = time_chain(run, params, jax.random.key(2))
     emit("stage2_ddim_steps_per_sec_512x512", chain / dt, "steps/s")
-    emit_mfu("stage2_ddim", run, (params, jax.random.key(2)), dt / chain)
+    emit_mfu("stage2_ddim", compiled, dt / chain)
 
 
 def bench_serving_batch8():
@@ -275,10 +284,10 @@ def bench_serving_batch8():
         s = model.sample_slice(params, key, cond, ddim)
         return jnp.sum(s)
 
-    dt = time_chain(run, params, jax.random.key(2))
+    dt, compiled = time_chain(run, params, jax.random.key(2))
     agg = b * steps / dt  # sample-steps/s
     emit("serving_sample_steps_per_sec_256x256_batch8", agg, "sample-steps/s")
-    emit_mfu("serving_batch8", run, (params, jax.random.key(2)), dt / steps)
+    emit_mfu("serving_batch8", compiled, dt / steps)
     # amortized per-volume latency for the 128-slice ddim-50 volume when
     # serving 8 concurrently (stage-2 share only; mask stage adds ~3 s)
     emit("serving_amortized_seconds_per_128slice_volume_batch8",
@@ -332,9 +341,9 @@ class _E2E:
         figure (mask time is shared; only the per-slice DDIM chain scales
         in z — naive x8 scaling would wrongly multiply the mask time)."""
         n = 16
-        dt = time_chain(self.make_run(n), self.args(3), iters=1)
+        dt, _ = time_chain(self.make_run(n), self.args(3), iters=1)
         emit(f"e2e_two_stage_{n}x{self.size}x{self.size}_seconds", dt, "s")
-        dt32 = time_chain(self.make_run(2 * n), self.args(4), iters=1)
+        dt32, _ = time_chain(self.make_run(2 * n), self.args(4), iters=1)
         emit(f"e2e_two_stage_{2 * n}x{self.size}x{self.size}_seconds", dt32, "s")
         if dt32 > dt:
             rate = (dt32 - dt) / n
@@ -353,8 +362,8 @@ class _E2E:
         fewer UNet calls per slice, LOWER integration error than
         ddim-50/uniform (BENCH_NOTES round 3)."""
         n = 16
-        dt = time_chain(self.make_run(n, ddim=self._dpm(), sampler="dpm"),
-                        self.args(5), iters=1)
+        dt, _ = time_chain(self.make_run(n, ddim=self._dpm(), sampler="dpm"),
+                           self.args(5), iters=1)
         emit(f"e2e_two_stage_dpm20_{n}x{self.size}x{self.size}_seconds", dt, "s")
 
     def leg_dpm_warm(self):
@@ -363,8 +372,8 @@ class _E2E:
         slice) — measured zero composition overhead; 128-slice fit 14.8 s
         single chip (scripts/probe_dpm_warm.py)."""
         n = 16
-        dt = time_chain(self.make_run(n, ddim=self._dpm(), sampler="dpm", warm_start=0.4),
-                        self.args(6), iters=1)
+        dt, _ = time_chain(self.make_run(n, ddim=self._dpm(), sampler="dpm", warm_start=0.4),
+                           self.args(6), iters=1)
         emit(f"e2e_two_stage_dpm20_warm04_{n}x{self.size}x{self.size}_seconds", dt, "s")
 
     def _direct_chunked(self, ddim, **kw):
