@@ -340,6 +340,14 @@ def main(argv=None):
                 vol = np.asarray(vol[0, ..., 0])
             save_image_volume(case_dir / "image.nii.gz", vol)
             save_grid_png(case_dir / "image.png", image_volume_to_grid(vol))
+            # mask-over-CT overlay (combine_mask_and_im parity): recover the
+            # integer labels from the dataset's labels/(C-1) mask channel
+            nc = int(cfg.get("num_classes", s2.get("num_classes", 12)))
+            labels_int = np.rint(np.asarray(item["wholemask"])[..., 0]
+                                 * (nc - 1)).astype(np.int64)
+            if labels_int.shape == vol.shape:
+                save_grid_png(case_dir / "overlay.png",
+                              overlay_volume_to_grid(vol, labels_int))
             gt = item.get("wholeimage")
             if cfg.get("metrics", True) and gt is not None and np.asarray(gt).shape[:-1] == vol.shape:
                 gt = np.asarray(gt)[..., 0]
