@@ -132,6 +132,9 @@ def emit_mfu(name, compiled, dt_per_step):
         pass
 
 
+_PRIMARY = {}  # final-line fallback when every e2e leg was skipped/failed
+
+
 def bench_stage1_denoise():
     from jointimagegeneration_tpu.models import MaskSampler
 
@@ -157,6 +160,7 @@ def bench_stage1_denoise():
     for i in range(n_iters):
         _ = float(compiled(params, jax.random.key(2 + i)))
     dt = time.perf_counter() - t0
+    _PRIMARY["stage1_denoise_steps_per_sec_per_chip_64x128x128"] = chain_steps * n_iters / dt
     emit("stage1_denoise_steps_per_sec_per_chip_64x128x128",
          chain_steps * n_iters / dt, "steps/s")
     emit_mfu("stage1_denoise", compiled, dt / (chain_steps * n_iters))
@@ -383,25 +387,16 @@ class _E2E:
         single-scan 128-slice program (~77 s device time) crashes the
         tunneled TPU worker (BENCH_NOTES round 4).  Semantics identical
         to the fused pipeline (sample_diffusion.py:208-223 autoregression);
-        the ~ms per-dispatch overhead is real serving overhead, included."""
-        from jointimagegeneration_tpu.pipeline.two_stage import (
-            normalize_mask_channel, upsample_labels)
+        the ~ms per-dispatch overhead is real serving overhead, included.
+        Program construction is shared with scripts/probe_direct_128.py."""
+        from jointimagegeneration_tpu.pipeline.two_stage import make_chunked_two_stage_programs
 
         D, CHUNK = 128, 32
         cond = jnp.zeros((1, *self.spatial, 1), jnp.bfloat16)
-
-        @jax.jit
-        def mask_program(params, key):
-            labels = self.ms.sample_labels(params, key, (1, *self.spatial),
-                                           cond=cond, num_steps=25)
-            return normalize_mask_channel(
-                upsample_labels(labels, (D, self.size, self.size)), self.ms.num_classes)
-
-        @jax.jit
-        def chunk(params, key, mask_chunk, init_slice):
-            vol = self.ldm.sample_volume(params, key, mask_chunk, ddim,
-                                         init_slice=init_slice, **kw)
-            return vol, vol[:, -1]
+        mask_program, chunk = make_chunked_two_stage_programs(
+            self.ms, self.ldm, mask_shape=(1, *self.spatial),
+            volume_shape=(D, self.size, self.size), ddim=ddim, chunk=CHUNK,
+            mask_steps=25, cond=cond, **kw)
 
         # compile + relay warm, untimed
         mv = mask_program(self.ms_params, jax.random.key(2))
@@ -478,6 +473,12 @@ def main():
         emit("e2e_128slice_256x256_seconds", e2e.direct_128, "s")
     elif e2e is not None and e2e.extrapolated_128 is not None:
         emit("e2e_extrapolated_128slice_256x256_seconds", e2e.extrapolated_128, "s")
+    elif _PRIMARY:
+        # every e2e leg was skipped or failed: the final (headline) line
+        # must still be a real metric with a value, not a skip record —
+        # fall back to re-emitting the primary
+        for k, v in _PRIMARY.items():
+            emit(k, v, "steps/s")
 
 
 if __name__ == "__main__":

@@ -22,8 +22,22 @@ import os
 import sys
 
 
+def _invoked_as_pytest_cli() -> bool:
+    """Re-exec'ing as `python -m pytest *sys.argv[1:]` is only faithful
+    when pytest WAS the command line.  Programmatic pytest.main() callers
+    (argv[0] is some wrapper script) and pytest-xdist workers must run
+    in-process instead (with the legacy exit-crash, but correct args)."""
+    if os.environ.get("PYTEST_XDIST_WORKER"):
+        return False
+    argv0 = os.path.basename(sys.argv[0] or "")
+    return argv0 in ("pytest", "py.test") or (
+        argv0 == "__main__.py" and f"{os.sep}pytest{os.sep}" in (sys.argv[0] or ""))
+
+
 def pytest_sessionstart(session):
     if not os.environ.get("PALLAS_AXON_POOL_IPS") or os.environ.get("JIG_KEEP_AXON"):
+        return
+    if not _invoked_as_pytest_cli():
         return
     capman = session.config.pluginmanager.getplugin("capturemanager")
     if capman is not None:

@@ -243,7 +243,7 @@ def build_autoencoder(m: dict) -> AutoencoderKL:
             dims=dd.get("dims", 2),
             dropout=dd.get("dropout", 0.0),
             resolution=dd.get("resolution", 512),
-            attn_type=dd.get("attn_type", "linear" if dd.get("use_linear_attn") else "vanilla"),
+            attn_type="linear" if dd.get("use_linear_attn") else dd.get("attn_type", "vanilla"),
         )
     return AutoencoderKL(
         embed_dim=m.get("embed_dim", 4),
@@ -257,7 +257,7 @@ def build_autoencoder(m: dict) -> AutoencoderKL:
         dims=dd.get("dims", 2),
         dropout=dd.get("dropout", 0.0),
         resolution=dd.get("resolution", 512),
-        attn_type=dd.get("attn_type", "linear" if dd.get("use_linear_attn") else "vanilla"),
+        attn_type="linear" if dd.get("use_linear_attn") else dd.get("attn_type", "vanilla"),
     )
 
 

@@ -57,7 +57,7 @@ def main(argv=None):
         dims=dims,
         dropout=dd.get("dropout", 0.0),
         resolution=dd.get("resolution", 512),
-        attn_type=dd.get("attn_type", "linear" if dd.get("use_linear_attn") else "vanilla"),
+        attn_type="linear" if dd.get("use_linear_attn") else dd.get("attn_type", "vanilla"),
     )
     if is_vq:
         from ..models.autoencoder import VQModel

@@ -197,14 +197,21 @@ def main(argv=None):
                 import numpy as np
 
                 from ..data.classes import NUM_CLASSES
-                from ..eval.writers import overlay_volume_to_grid
+                from ..eval.writers import make_grid, overlay_mask_on_image
 
-                nc = int(cfg.get("dataset", {}).get("num_classes", NUM_CLASSES))
+                # num_classes lives at the TOP level of train configs (the
+                # same place build_slice_dataset's nnunet route reads it)
+                nc = int(cfg.get("num_classes",
+                                 cfg.get("dataset", {}).get("num_classes", NUM_CLASSES)))
                 labels = np.rint(np.asarray(batch["cond"][..., 1], np.float32)
                                  * (nc - 1)).astype(np.int64)
                 samples01 = np.clip(np.asarray(panels["samples"][..., 0]), 0, 1)  # window-norm range
-                logger.image(step, "val/overlay",
-                             overlay_volume_to_grid(samples01, labels, every=1))
+                # one overlay PER SAMPLE (2D sobel each): the batch axis is
+                # NOT a z axis — a volume-level call would bleed each
+                # sample's mask boundaries into its neighbors' panels
+                logger.image(step, "val/overlay", make_grid(
+                    [overlay_mask_on_image(samples01[i], labels[i])
+                     for i in range(samples01.shape[0])]))
         # val loss on the logged batch (monitor val/loss_simple parity)
         diff = model.diffusion
         t = jnp.full((batch["image"].shape[0],), diff.num_timesteps // 2, jnp.int32)

@@ -197,8 +197,13 @@ def _add_jpeg_noise(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
     q = int(rng.integers(80, 96))  # random.randint(80, 95) inclusive
     u8 = (np.clip(img, 0, 1) * 255.0).round().astype(np.uint8)
+    rgb = img.ndim == 3 and img.shape[2] == 3
+    if rgb:  # cv2 JPEG expects BGR; the reference converts both ways
+        u8 = u8[..., ::-1]  # (add_JPEG_noise, bsrgan_light.py:422-428)
     ok, enc = cv2.imencode(".jpg", u8, [int(cv2.IMWRITE_JPEG_QUALITY), q])
     dec = cv2.imdecode(enc, cv2.IMREAD_UNCHANGED)
+    if rgb:
+        dec = dec[..., ::-1]
     return (dec.astype(np.float32) / 255.0).reshape(img.shape)
 
 

@@ -249,18 +249,19 @@ class SRDataset(EpochSeededRNG):
         import cv2
 
         img = _smallest_max_size(img, self.size, cv2.INTER_AREA)
-        if self.degradation in ("bsrgan", "bsrgan_light", "bsrgan-light"):
-            from .degradation import bsrgan_light_pipeline
-
-            lr, _hq = bsrgan_light_pipeline(img.astype(np.float32) / 255.0, rng,
-                                            sf=self.downscale_f)
-            lr_u8 = (np.clip(lr, 0, 1) * 255.0).round().astype(np.uint8)
-        elif self.degradation.startswith("cv_"):
+        if self.degradation.startswith("cv_"):
             lr_u8 = _smallest_max_size(img, self.lr_size, self._CV_INTERP[self.degradation])
         elif self.degradation.startswith("pil_"):
             lr_u8 = _pil_resize(img, self.lr_size, self.degradation[4:])
         else:
-            raise ValueError(f"unknown degradation {self.degradation!r}")
+            # everything else routes through the ONE degradation selector
+            # (bsrgan_light zoo or the light composable pipeline — both
+            # share the (img01, rng, sf) -> (lr, hr) signature)
+            from .degradation import get_degradation
+
+            lr, _hq = get_degradation(self.degradation)(
+                img.astype(np.float32) / 255.0, rng, sf=self.downscale_f)
+            lr_u8 = (np.clip(lr, 0, 1) * 255.0).round().astype(np.uint8)
         example["image"] = img.astype(np.float32) / 127.5 - 1.0
         example["LR_image"] = lr_u8.astype(np.float32) / 127.5 - 1.0
         return example

@@ -120,7 +120,13 @@ def overlay_volume_to_grid(image: np.ndarray, labels: np.ndarray,
                            every: int = 4, overlay_coef: float = 0.2) -> np.ndarray:
     """(D, H, W) CT + labels -> grid of every-nth overlaid axial slice;
     2D inputs render as one panel.  Boundary pass runs on the full volume
-    first so slice panels show true 3D organ borders."""
+    first so slice panels show true 3D organ borders.  NB: the leading
+    axis must be a REAL z axis, not a batch of independent images — the
+    3D sobel would bleed boundaries across neighbors (render batches one
+    overlay_mask_on_image panel at a time instead).  An organ touching
+    z=0 / z=D-1 paints its edge-slice cross-section solid (the z sobel
+    sees the constant pad) — reference 5D behavior kept
+    (find_mask_boundaries_nd, main.py:31-41, mode='constant')."""
     image = np.asarray(image)
     labels = np.asarray(labels)
     if image.ndim == 2:

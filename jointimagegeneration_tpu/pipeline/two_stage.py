@@ -94,3 +94,43 @@ class TwoStagePipeline:
                                               guidance_scale=guidance_scale,
                                               warm_start=warm_start, sampler=sampler)
         return ct, labels_up
+
+
+def make_chunked_two_stage_programs(mask_sampler: MaskSampler, slice_ldm: SliceLDM, *,
+                                    mask_shape: Tuple[int, int, int, int],
+                                    volume_shape: Tuple[int, int, int],
+                                    ddim: DDIMParams, chunk: int,
+                                    mask_steps: Optional[int] = None,
+                                    cond: Optional[jnp.ndarray] = None,
+                                    **sample_kw):
+    """Chunked execution of the full two-stage pipeline as jitted programs.
+
+    The fused single-scan pipeline at 128 slices is ~77 s of device time
+    in ONE program, which crashes this box's tunneled TPU worker
+    (BENCH_NOTES round 4); splitting the z loop into `chunk`-slice
+    sample_volume programs — chunk k+1's first slice conditioned on chunk
+    k's last generated slice — keeps every dispatch short while preserving
+    the exact autoregressive semantics (sample_diffusion.py:208-223).
+
+    Returns (mask_program, chunk_program):
+      mask_program(ms_params, key) -> (B, D', H', W', 1) windowed mask channel
+      chunk_program(ldm_params, key, mask_chunk, init_slice) -> (vol, last_slice)
+    """
+    d, h, w = volume_shape
+    if d % chunk != 0:
+        raise ValueError(f"volume depth {d} must divide by chunk {chunk}")
+
+    @jax.jit
+    def mask_program(ms_params, key):
+        labels = mask_sampler.sample_labels(
+            ms_params, key, mask_shape, cond=cond, num_steps=mask_steps)
+        up = upsample_labels(labels, (d, h, w))
+        return normalize_mask_channel(up, mask_sampler.num_classes)
+
+    @jax.jit
+    def chunk_program(ldm_params, key, mask_chunk, init_slice):
+        vol = slice_ldm.sample_volume(ldm_params, key, mask_chunk, ddim,
+                                      init_slice=init_slice, **sample_kw)
+        return vol, vol[:, -1]
+
+    return mask_program, chunk_program

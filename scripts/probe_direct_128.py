@@ -35,7 +35,7 @@ if jax.default_backend() != "cpu":
 
 from jointimagegeneration_tpu.diffusion.ddim import DDIMParams
 from jointimagegeneration_tpu.models import MaskSampler, SliceLDM
-from jointimagegeneration_tpu.pipeline.two_stage import normalize_mask_channel, upsample_labels
+from jointimagegeneration_tpu.pipeline.two_stage import make_chunked_two_stage_programs
 
 SPATIAL = (64, 128, 128)
 D, SIZE = 128, 256
@@ -62,23 +62,12 @@ def main():
     ldm_params = ldm.init_params(jax.random.key(1), SIZE)
     cond = jnp.zeros((1, *SPATIAL, 1), jnp.bfloat16)
 
-    @jax.jit
-    def mask_program(params, key):
-        labels = ms.sample_labels(params, key, (1, *SPATIAL), cond=cond, num_steps=25)
-        up = upsample_labels(labels, (D, SIZE, SIZE))
-        return normalize_mask_channel(up, ms.num_classes)
-
-    def make_chunk(ddim, **kw):
-        @jax.jit
-        def chunk(params, key, mask_chunk, init_slice):
-            vol = ldm.sample_volume(params, key, mask_chunk, ddim,
-                                    init_slice=init_slice, **kw)
-            return vol, vol[:, -1]
-
-        return chunk
-
     def run(name, ddim, **kw):
-        chunk = make_chunk(ddim, **kw)
+        # shared program construction (also used by bench.py's direct legs,
+        # so the persistent cache covers both)
+        mask_program, chunk = make_chunked_two_stage_programs(
+            ms, ldm, mask_shape=(1, *SPATIAL), volume_shape=(D, SIZE, SIZE),
+            ddim=ddim, chunk=CHUNK, mask_steps=25, cond=cond, **kw)
         # compile both programs + warm the d2h relay OUTSIDE the timed run
         mv = mask_program(ms_params, jax.random.key(2))
         _ = float(jnp.sum(mv))

@@ -191,3 +191,17 @@ def test_overlay_volume_grid_shapes():
     # 2D single-slice input renders as one panel
     g2 = overlay_volume_to_grid(vol[0], labels[0], every=1)
     assert g2.shape == (8, 8, 3)
+
+
+def test_use_linear_attn_forces_linear():
+    """Reference precedence (model.py Model.__init__): use_linear_attn
+    FORCES attn_type='linear' even when an explicit attn_type key says
+    otherwise."""
+    from jointimagegeneration_tpu.cli.common import build_autoencoder
+
+    ae = build_autoencoder({"ddconfig": {"attn_type": "vanilla", "use_linear_attn": True,
+                                         "ch": 8, "ch_mult": [1], "z_channels": 2}})
+    assert ae.attn_type == "linear"
+    ae = build_autoencoder({"ddconfig": {"attn_type": "none", "ch": 8, "ch_mult": [1],
+                                         "z_channels": 2}})
+    assert ae.attn_type == "none"
