@@ -447,15 +447,14 @@ def main():
         leg("e2e_dpm20", 180, e2e.leg_dpm)
         leg("e2e_dpm20_warm04", 180, e2e.leg_dpm_warm)
 
-    # --- serving + sampler legs ---
+    # --- serving, then the direct 128-slice north-star measurement (the
+    # headline: measured beats extrapolated, so it outranks stage2_ddim;
+    # runtime ~77 s ddim / ~35 s dpm + ~2 min program loads warm) ---
     leg("serving_batch8", 200, bench_serving_batch8)
-    leg("stage2_ddim", 180, bench_stage2_ddim)
-
-    # --- direct 128-slice north-star measurement (compile is cached from
-    # the fit leg's program shape family; runtime ~77 s ddim / ~35 s dpm) ---
     if e2e is not None:
         leg("e2e_direct_128slice", 400, e2e.leg_direct_128)
         leg("e2e_direct_128slice_dpm20", 250, e2e.leg_direct_128_dpm)
+    leg("stage2_ddim", 180, bench_stage2_ddim)
 
     # --- train legs last: slowest compiles, least headline-critical ---
     leg("stage1_train", 300, bench_stage1_train)
