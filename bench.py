@@ -442,26 +442,37 @@ def main():
             e2e = _E2E()
         except Exception as e:
             print(json.dumps({"metric": "e2e_setup", "error": str(e)[:200]}), flush=True)
+    warm = False
     if e2e is not None:
+        t_fit = time.monotonic()
         leg("e2e_fit_legs", 240, e2e.leg_fit)
-        leg("e2e_dpm20", 180, e2e.leg_dpm)
-        leg("e2e_dpm20_warm04", 180, e2e.leg_dpm_warm)
+        # warm-cache detection: the fit legs' compute is ~66 s; a wall
+        # clock much beyond that means the big pipeline programs are
+        # COMPILING (~5-10 min each) — keep the conservative cold
+        # estimates.  Warm (persistent-cache loads only) lets the
+        # direct-128 headline leg fit inside the default budget.
+        warm = (time.monotonic() - t_fit) < 200
+        leg("e2e_dpm20", 180 if not warm else 60, e2e.leg_dpm)
+        leg("e2e_dpm20_warm04", 180 if not warm else 60, e2e.leg_dpm_warm)
+
+    def est(cold, warm_s):
+        return warm_s if warm else cold
 
     # --- serving, then the direct 128-slice north-star measurement (the
     # headline: measured beats extrapolated, so it outranks stage2_ddim;
     # runtime ~77 s ddim / ~35 s dpm + ~2 min program loads warm) ---
-    leg("serving_batch8", 200, bench_serving_batch8)
+    leg("serving_batch8", est(200, 80), bench_serving_batch8)
     if e2e is not None:
-        leg("e2e_direct_128slice", 400, e2e.leg_direct_128)
-        leg("e2e_direct_128slice_dpm20", 250, e2e.leg_direct_128_dpm)
-    leg("stage2_ddim", 180, bench_stage2_ddim)
+        leg("e2e_direct_128slice", est(400, 300), e2e.leg_direct_128)
+        leg("e2e_direct_128slice_dpm20", est(250, 150), e2e.leg_direct_128_dpm)
+    leg("stage2_ddim", est(180, 100), bench_stage2_ddim)
 
     # --- train legs last: slowest compiles, least headline-critical ---
-    leg("stage1_train", 300, bench_stage1_train)
-    leg("stage2_train", 300, lambda: _stage2_train_leg(
+    leg("stage1_train", est(300, 120), bench_stage1_train)
+    leg("stage2_train", est(300, 120), lambda: _stage2_train_leg(
         512, 1, "stage2_train", "stage2_train_steps_per_sec_512x512",
         "steps/s", lambda dt: 1.0 / dt))
-    leg("stage2_train_batch8", 300, lambda: _stage2_train_leg(
+    leg("stage2_train_batch8", est(300, 120), lambda: _stage2_train_leg(
         256, 8, "stage2_train_batch8", "stage2_train_samples_per_sec_256x256_batch8",
         "samples/s", lambda dt: 8.0 / dt))
 
