@@ -102,6 +102,8 @@ def make_chunked_two_stage_programs(mask_sampler: MaskSampler, slice_ldm: SliceL
                                     ddim: DDIMParams, chunk: int,
                                     mask_steps: Optional[int] = None,
                                     cond: Optional[jnp.ndarray] = None,
+                                    with_checksum: bool = False,
+                                    full_mask: bool = False,
                                     **sample_kw):
     """Chunked execution of the full two-stage pipeline as jitted programs.
 
@@ -115,6 +117,16 @@ def make_chunked_two_stage_programs(mask_sampler: MaskSampler, slice_ldm: SliceL
     Returns (mask_program, chunk_program):
       mask_program(ms_params, key) -> (B, D', H', W', 1) windowed mask channel
       chunk_program(ldm_params, key, mask_chunk, init_slice) -> (vol, last_slice)
+
+    `with_checksum` appends a scalar reduction to each program's outputs
+    so a caller can device-sync with a single cheap d2h fetch instead of
+    dispatching a separate eager `sum` program (on a tunneled TPU every
+    extra one-op program pays a relay round-trip).  `full_mask` moves the
+    per-chunk mask slicing INSIDE the chunk program: the chunk then takes
+    the whole mask volume plus a traced z-offset, so driving all D/chunk
+    chunks reuses ONE compiled program with no eager slicing between
+    dispatches:
+      chunk_program(ldm_params, key, mask_full, z_start, init_slice)
     """
     d, h, w = volume_shape
     if d % chunk != 0:
@@ -125,12 +137,22 @@ def make_chunked_two_stage_programs(mask_sampler: MaskSampler, slice_ldm: SliceL
         labels = mask_sampler.sample_labels(
             ms_params, key, mask_shape, cond=cond, num_steps=mask_steps)
         up = upsample_labels(labels, (d, h, w))
-        return normalize_mask_channel(up, mask_sampler.num_classes)
+        mc = normalize_mask_channel(up, mask_sampler.num_classes)
+        return (mc, jnp.sum(mc)) if with_checksum else mc
 
-    @jax.jit
-    def chunk_program(ldm_params, key, mask_chunk, init_slice):
+    def _sample_chunk(ldm_params, key, mask_chunk, init_slice):
         vol = slice_ldm.sample_volume(ldm_params, key, mask_chunk, ddim,
                                       init_slice=init_slice, **sample_kw)
+        if with_checksum:
+            return vol, vol[:, -1], jnp.sum(vol)
         return vol, vol[:, -1]
+
+    if full_mask:
+        @jax.jit
+        def chunk_program(ldm_params, key, mask_full, z_start, init_slice):
+            mask_chunk = jax.lax.dynamic_slice_in_dim(mask_full, z_start, chunk, axis=1)
+            return _sample_chunk(ldm_params, key, mask_chunk, init_slice)
+    else:
+        chunk_program = jax.jit(_sample_chunk)
 
     return mask_program, chunk_program
