@@ -63,6 +63,8 @@ _FINAL_CANDIDATES = (
     ("e2e_direct_128slice_256x256_seconds", "e2e_128slice_256x256_seconds", "s"),
     ("e2e_extrapolated_128slice_256x256_seconds",
      "e2e_extrapolated_128slice_256x256_seconds", "s"),
+    ("e2e_direct_128slice_dpm20_256x256_seconds",
+     "e2e_direct_128slice_dpm20_256x256_seconds", "s"),
     ("stage1_denoise_steps_per_sec_per_chip_64x128x128",
      "stage1_denoise_steps_per_sec_per_chip_64x128x128", "steps/s"),
 )
@@ -206,17 +208,22 @@ def child_main():
 
     timings = {}
 
-    def leg(name, est_cold_s, est_warm_s, fn):
-        """Run one leg if the remaining budget plausibly absorbs it.  The
-        warm estimate applies once leg timings show the persistent cache
-        is hot (program loads, not compiles).  Failures never kill the
-        process — later legs still run."""
+    def leg(name, est_s, fn):
+        """Run one leg if the remaining budget plausibly absorbs it.
+
+        Estimates are single-tier AFTER-FIRST-LEG costs (round-5 measured
+        walls + margin): the expensive part of a run is once-per-process
+        (grant wait + tunnel setup + first d2h fetch — 83-700 s observed
+        for the SAME cache-hit primary leg across one morning) and lands
+        on leg 1; subsequent cache-hit legs ran 10-263 s.  A genuinely
+        cold cache makes a leg overrun its estimate mid-flight — then the
+        jax-free parent ends the run at the budget with the best headline
+        captured so far, which is the correct priority order by
+        construction.  Failures never kill the process — later legs
+        still run."""
         if name in _SKIP or (_ONLY and name not in _ONLY):
             return
-        # a restarted child (BENCH_SKIP non-empty) inherits the first
-        # child's now-hot persistent cache even though it has no timings
-        warm = bool(_SKIP) or timings.get("stage1_denoise", 1e9) < 300
-        est = est_warm_s if warm else est_cold_s
+        est = est_s
         if remaining() < est:
             print(json.dumps({"metric": name, "skipped": "budget",
                               "est_s": est, "remaining_s": round(remaining(), 1)}),
@@ -300,6 +307,13 @@ def child_main():
                                                 method="uniform_lambda")
             self._ldm_params = shape_init(
                 lambda k: self._ldm.init_params(k, 256), seed=1, device=_DEV)
+
+        def release_ldm(self):
+            """Free the LDM tree's HBM (it rebuilds lazily on next use).
+            stage1_train peaks at 14.5 of 16 GiB — the ~1 GB LDM tree
+            must not be resident during it."""
+            self._ldm = None
+            self._ldm_params = None
 
         # lazy: a BENCH_METRICS=primary run never pays the LDM build
         @property
@@ -396,10 +410,12 @@ def child_main():
             return time.perf_counter() - t0
 
     direct = Direct()
+    direct_ddim_ok = []
 
     def leg_direct_128():
         dt = direct.run(M.ddim50)
         emit("e2e_direct_128slice_256x256_seconds", dt, "s")
+        direct_ddim_ok.append(dt)
 
     def leg_direct_128_dpm():
         dt = direct.run(M.dpm20, sampler="dpm")
@@ -519,6 +535,7 @@ def child_main():
         # remat=False: full fwd+bwd fits since the round-3 data-formatting
         # fixes (XLA memory_analysis: peak 14.54 GiB of 16) and is the
         # measured 1.09x winner over per-ResBlock remat (BENCH_NOTES).
+        M.release_ldm()
         with jax.default_device(_CPU):
             model = MaskSampler.create(
                 num_classes=12, time_steps=1000, model_channels=64,
@@ -526,8 +543,18 @@ def child_main():
                 num_res_blocks=2, num_head_channels=32, dtype=jnp.bfloat16,
                 remat=False)
         tx = build_optimizer("AdamW", 1e-4)
-        state = jax.jit(lambda p: EMATrainState.create(p, tx))(M.ms_params)
-        step = make_mask_train_step(model, class_weights=np.ones((12,), np.float32))
+        # donate the shared mask tree into state creation: this leg peaks at
+        # 14.5 of 16 GiB (BENCH_NOTES round 3) and keeping a second params
+        # copy alive OOMs it.  stage1_train is the tree's last consumer —
+        # every sampling leg is ordered before the train legs.
+        state = jax.jit(lambda p: EMATrainState.create(p, tx),
+                        donate_argnums=(0,))(M.ms_params)
+        # class_weights must be a jax array: the step fancy-indexes it with a
+        # traced label volume (numpy would call __array__ on the tracer).
+        # CPU-backed so its creation never dispatches through the relay.
+        with jax.default_device(_CPU):
+            cw = jnp.ones((12,))
+        step = make_mask_train_step(model, class_weights=cw)
         mask = np.zeros((1, *SPATIAL, 12), np.float32)
         mask[..., 0] = 1.0  # one-hot background
         batch = {"mask": dput(mask), "image": dzeros((1, *SPATIAL, 1))}
@@ -576,27 +603,35 @@ def child_main():
         emit(rate_metric, rate_fn(dt), rate_unit)
         emit_mfu(name, jstep, dt)
 
-    # ---- schedule: most-important-first under the budget ----
+    # ---- schedule: most-important-first under the budget (estimates =
+    # round-5 measured after-first-leg walls + relay-variance margin) ----
 
-    leg("stage1_denoise", 0, 0, bench_stage1_denoise)
+    leg("stage1_denoise", 0, bench_stage1_denoise)
     if os.environ.get("BENCH_METRICS") == "primary":
         return 0
 
-    leg("e2e_direct_128slice", 1000, 300, leg_direct_128)
-    leg("e2e_direct_128slice_dpm20", 450, 130, leg_direct_128_dpm)
-    leg("serving_batch8", 400, 110, bench_serving_batch8)
-    leg("stage2_ddim", 300, 90, bench_stage2_ddim)
+    leg("e2e_direct_128slice", 300, leg_direct_128)
+    leg("e2e_direct_128slice_dpm20", 150, leg_direct_128_dpm)
+    leg("serving_batch8", 100, bench_serving_batch8)
 
     fused = Fused()
-    leg("e2e_dpm20", 300, 80, fused.leg_dpm)
-    leg("e2e_dpm20_warm04", 300, 80, fused.leg_dpm_warm)
-    leg("e2e_fit_legs", 600, 180, fused.leg_fit)
+    if not direct_ddim_ok:
+        # no directly-measured ddim-50 north star: the 16/32-slice affine
+        # fit is the headline fallback — promote it ahead of everything
+        leg("e2e_fit_legs", 250, fused.leg_fit)
 
-    leg("stage1_train", 400, 140, bench_stage1_train)
-    leg("stage2_train", 400, 140, lambda: _stage2_train_leg(
+    leg("stage2_ddim", 130, bench_stage2_ddim)
+    leg("e2e_dpm20", 90, fused.leg_dpm)
+    leg("e2e_dpm20_warm04", 100, fused.leg_dpm_warm)
+    if direct_ddim_ok:
+        # direct measurement exists: the fit is a cross-check, run late
+        leg("e2e_fit_legs", 250, fused.leg_fit)
+
+    leg("stage1_train", 250, bench_stage1_train)
+    leg("stage2_train", 300, lambda: _stage2_train_leg(
         512, 1, "stage2_train", "stage2_train_steps_per_sec_512x512",
         "steps/s", lambda dt: 1.0 / dt))
-    leg("stage2_train_batch8", 400, 140, lambda: _stage2_train_leg(
+    leg("stage2_train_batch8", 200, lambda: _stage2_train_leg(
         256, 8, "stage2_train_batch8",
         "stage2_train_samples_per_sec_256x256_batch8",
         "samples/s", lambda dt: 8.0 / dt))
