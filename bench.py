@@ -237,6 +237,10 @@ def child_main():
                               "s": round(timings[name], 1)}), flush=True)
         except Exception as e:
             print(json.dumps({"metric": name, "error": str(e)[:200]}), flush=True)
+        if os.environ.get("BENCH_CRASH_AFTER") == name:
+            # test hook: simulate the mid-run TPU-worker crash that kills
+            # the child process, to exercise the parent's restart path
+            os._exit(17)
 
     # ---- host-side builders (no eager device dispatch) ----
 
@@ -605,6 +609,11 @@ def child_main():
 
     # ---- schedule: most-important-first under the budget (estimates =
     # round-5 measured after-first-leg walls + relay-variance margin) ----
+
+    if os.environ.get("BENCH_TEST_LEG"):
+        # test-only no-op leg: lets the orchestration tests exercise leg
+        # completion + the crash-restart path without TPU-scale compute
+        leg("test_noop", 1, lambda: emit("test_noop_metric", 1.0, "x"))
 
     leg("stage1_denoise", 0, bench_stage1_denoise)
     if os.environ.get("BENCH_METRICS") == "primary":

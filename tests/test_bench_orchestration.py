@@ -36,6 +36,26 @@ def test_all_legs_skipped_still_emits_headline_rc0():
     assert "metric" in last and "value" in last
 
 
+def test_child_crash_restart_skips_completed_legs():
+    # Child completes the test-only leg then hard-exits (simulating the
+    # tunneled TPU worker crashing and poisoning the process).  The
+    # parent must restart it with BENCH_SKIP carrying the completed leg
+    # (no duplicate leg_done), and still end rc=0 with a headline line.
+    p = _run_bench({
+        "BENCH_TEST_LEG": "1",
+        "BENCH_ONLY": "test_noop",
+        "BENCH_CRASH_AFTER": "test_noop",
+        "BENCH_BUDGET_S": "600",
+    })
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [json.loads(l) for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    restarts = [l for l in lines if l.get("metric") == "bench_child_restart"]
+    assert len(restarts) == 1 and restarts[0]["child_rc"] == 17, p.stdout
+    dones = [l for l in lines if l.get("leg_done") == "test_noop"]
+    assert len(dones) == 1, p.stdout  # second child skipped it via BENCH_SKIP
+    assert "metric" in lines[-1] and "value" in lines[-1]
+
+
 def test_budget_exhausted_emits_skip_records_and_headline():
     # Restrict to one expensive leg with a budget the child setup alone
     # (~30 s CPU) outspends: the leg must skip-and-say-so, and the parent
