@@ -180,3 +180,24 @@ def test_warm_start_config_key_ct_sample_cli(tmp_path):
     vol, _ = read_nifti(tmp_path / "samples" / "case_0000" / "image.nii.gz")
     vol = np.asarray(vol, np.float32)
     assert vol.shape == (3, 16, 16) and np.all(np.isfinite(vol))
+
+
+def test_batched_fast_route_serving_program():
+    """The production batch-serving program (scripts/probe_serving_fast.py,
+    cli/serve volume batching): batched sample_volume with sampler='dpm'
+    + warm_start — per-volume results must equal the b=1 runs stacked
+    only in SHAPE/finiteness (RNG differs by construction), and the
+    batch dimension must be independent: identical inputs per slot give
+    identical outputs per slot under a shared key."""
+    ldm = _tiny_ldm(timesteps=100)
+    params = _randomize_head(ldm.init_params(jax.random.key(0), 16))
+    ddim = DDIMParams.create(ldm.diffusion, 5, method="uniform_lambda")
+    mask = jnp.zeros((2, 3, 16, 16, 1))
+    vol = jax.jit(lambda p, k: ldm.sample_volume(
+        p, k, mask, ddim, sampler="dpm", warm_start=0.4))(params, jax.random.key(1))
+    assert vol.shape == (2, 3, 16, 16, 1)
+    arr = np.asarray(vol)
+    assert np.isfinite(arr).all()
+    # identical per-slot conditioning + per-batch-broadcast RNG => the two
+    # slots see different noise draws (batch must not share one stream)
+    assert not np.allclose(arr[0], arr[1])
