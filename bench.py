@@ -16,7 +16,9 @@ Round-5 architecture — two processes:
     default 1500 s), restarts the child on an abnormal exit (the
     tunneled TPU worker can crash mid-run and poison its process —
     BENCH_NOTES round 4) with BENCH_SKIP set to the already-completed
-    legs, and ALWAYS emits the final headline line before exiting 0.
+    legs, re-emits a key-metric recap (the record keeps only the TAIL
+    of stdout and the most important legs print earliest), and ALWAYS
+    emits the final headline line before exiting 0.
   child (jax): runs the legs most-important-first, skip-and-say-so when
     a leg's estimated cost exceeds the remaining budget.
 
@@ -159,6 +161,27 @@ def parent_main():
             break
         print(json.dumps({"metric": "bench_child_restart", "child_rc": rc,
                           "completed_legs": len(done)}), flush=True)
+
+    # Key-metric recap: the driver records only the TAIL of stdout, and
+    # the most important legs print EARLIEST — re-emit them here so a
+    # truncated tail still carries the headline numbers.  The north-star
+    # final line stays last (the driver parses the last JSON line).
+    recap = [
+        ("stage1_denoise_steps_per_sec_per_chip_64x128x128", "steps/s"),
+        ("stage1_denoise_mfu", "%"),
+        ("e2e_direct_128slice_256x256_seconds", "s"),
+        ("e2e_direct_128slice_dpm20_256x256_seconds", "s"),
+        ("serving_sample_steps_per_sec_256x256_batch8", "sample-steps/s"),
+        ("serving_batch8_mfu", "%"),
+        ("serving_amortized_seconds_per_128slice_volume_batch8", "s/volume"),
+        ("stage2_ddim_steps_per_sec_512x512", "steps/s"),
+        ("stage2_train_samples_per_sec_256x256_batch8", "samples/s"),
+        ("stage2_train_batch8_mfu", "%"),
+    ]
+    for name, unit in recap:
+        m = metrics.get(name)
+        if m is not None:
+            _emit_line(name, float(m["value"]), unit)
 
     for child_name, final_name, unit in _FINAL_CANDIDATES:
         m = metrics.get(child_name)

@@ -41,3 +41,15 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.fast)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process compiler state: a single-process run of the WHOLE
+    suite accumulates ~300 compiled CPU executables and XLA's CPU
+    compiler then segfaults deterministically (round 5: twice at the
+    same late test, solo and contended).  Clearing jit caches at module
+    boundaries keeps the compiler healthy; per-module compile reuse is
+    unaffected (session-scoped fixtures hold arrays, not executables)."""
+    yield
+    jax.clear_caches()
